@@ -1,0 +1,94 @@
+"""Pipeline configuration.
+
+Mirrors the reference's AnalysisConfig surface and eager validation
+(src/cordon/core/config.py:5-96): window_size=4, k_neighbors=5,
+anomaly_percentile=0.1, optional percentile band
+(anomaly_range_min/max), pluggable embedding backend, batch sizing.
+Spark-specific knobs (embedding_dim, scorer, shuffle sizing) are added
+for the distributed execution model.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from math import isclose
+
+
+@dataclass(frozen=True)
+class AnalysisConfig:
+    # windowing (reference config.py:9 default window_size=4)
+    window_size: int = 4
+    # scoring (reference config.py:10-11 defaults k=5, p=0.1)
+    k_neighbors: int = 5
+    anomaly_percentile: float = 0.1
+    # percentile band mode (reference config.py:12-13, validated :52-68):
+    # keep lower <= score < upper where upper excludes the top
+    # `anomaly_range_min` fraction and lower admits up to
+    # `anomaly_range_max` (thresholder.py:34-58)
+    anomaly_range_min: float | None = None
+    anomaly_range_max: float | None = None
+
+    # embedding backend seam (reference embedding/__init__.py:10-31)
+    backend: str = "hash"  # hash | sentence-transformers | remote
+    model_name: str = "hash-64"
+    embedding_dim: int = 64
+    batch_size: int = 32
+
+    # scoring execution (reference scorer.py:89-127 auto batch sizing)
+    scorer: str = "knn"  # knn (exact, test-scale) | centroid (sketch, 100TB-scale)
+    scoring_chunk_size: int = 8192
+
+    # Spark execution knobs
+    shuffle_partitions: int | None = None
+    salt_buckets: int = 0  # >0: salt pre-window repartition for long-conv skew
+
+    # optional remote-backend knobs (reference config.py:23-29)
+    api_base: str | None = None
+    api_key: str | None = None
+    request_timeout: float = 30.0
+
+    extra: dict = field(default_factory=dict, compare=False, hash=False)
+
+    def __post_init__(self) -> None:  # eager validation, reference config.py:31-96
+        if self.window_size < 1:
+            raise ValueError(f"window_size must be >= 1, got {self.window_size}")
+        if self.k_neighbors < 1:
+            raise ValueError(f"k_neighbors must be >= 1, got {self.k_neighbors}")
+        if not (0.0 <= self.anomaly_percentile <= 1.0):
+            raise ValueError(
+                f"anomaly_percentile must be in [0, 1], got {self.anomaly_percentile}"
+            )
+        has_min = self.anomaly_range_min is not None
+        has_max = self.anomaly_range_max is not None
+        if has_min != has_max:
+            raise ValueError("anomaly_range_min and anomaly_range_max must be set together")
+        if has_min and has_max:
+            lo, hi = self.anomaly_range_min, self.anomaly_range_max
+            if not (0.0 <= lo <= 1.0) or not (0.0 <= hi <= 1.0):
+                raise ValueError("anomaly range bounds must be in [0, 1]")
+            if lo >= hi:
+                raise ValueError(
+                    f"anomaly_range_min ({lo}) must be < anomaly_range_max ({hi})"
+                )
+        if self.batch_size < 1:
+            raise ValueError(f"batch_size must be >= 1, got {self.batch_size}")
+        if self.embedding_dim < 1:
+            raise ValueError(f"embedding_dim must be >= 1, got {self.embedding_dim}")
+        if self.scoring_chunk_size < 1:
+            raise ValueError("scoring_chunk_size must be >= 1")
+        if self.scorer not in ("knn", "centroid"):
+            raise ValueError(f"unknown scorer: {self.scorer}")
+        if self.backend not in ("hash", "sentence-transformers", "remote"):
+            raise ValueError(f"unknown backend: {self.backend}")
+
+    @property
+    def range_mode(self) -> bool:
+        return self.anomaly_range_min is not None
+
+    @property
+    def keep_all(self) -> bool:
+        return (not self.range_mode) and isclose(self.anomaly_percentile, 1.0)
+
+    @property
+    def keep_none(self) -> bool:
+        return (not self.range_mode) and isclose(self.anomaly_percentile, 0.0)

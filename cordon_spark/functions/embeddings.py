@@ -1,0 +1,124 @@
+"""OP-4: pluggable embedding backends behind one factory seam.
+
+Reference seam: embedding/__init__.py:10-31 (factory by config.backend)
+with three backends — sentence-transformers (transformer.py:99-147),
+llama-cpp (llama_cpp.py:45-66), remote API (remote.py:30-96). All emit
+L2-normalized float32 vectors.
+
+Spark spelling: every backend is an ITERATOR-form Arrow pandas UDF
+(`Iterator[pd.Series] -> Iterator[pd.Series]`) so heavyweight model
+state loads once per executor python worker, and inference sees whole
+Arrow batches (the canonical batched-model-inference pattern; the
+reference's batch_size=32 loop at transformer.py:126-141 becomes
+`spark.sql.execution.arrow.maxRecordsPerBatch`). No per-row Python
+anywhere (input_hint requirement).
+
+The default sandbox backend is the deterministic hashed bag-of-tokens
+embedding from cordon_spark.kernel (no torch in this environment);
+sentence-transformers / remote backends are implemented behind
+import-guards with the identical contract.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from cordon_spark.config import AnalysisConfig
+
+
+def _hash_embed_udf(dim: int):
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from cordon_spark import kernel
+
+        for s in batches:
+            mat = kernel.embed_texts(s.fillna("").tolist(), dim)
+            yield pd.Series(list(mat))
+
+    return embed
+
+
+def _sentence_transformer_udf(model_name: str, batch_size: int):
+    """Real transformer backend (transformer.py:99-147): model loaded once
+    per worker, encode() with normalize_embeddings=True."""
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from sentence_transformers import SentenceTransformer  # import-gated
+
+        model = SentenceTransformer(model_name)
+        for s in batches:
+            mat = model.encode(
+                s.fillna("").tolist(),
+                batch_size=batch_size,
+                convert_to_numpy=True,
+                normalize_embeddings=True,
+            ).astype(np.float64)
+            yield pd.Series(list(mat))
+
+    return embed
+
+
+def _remote_udf(model_name: str, api_base: str | None, api_key: str | None, timeout: float):
+    """Remote-API backend (remote.py:30-96): batched HTTP per Arrow batch,
+    explicit L2 norm (remote.py:72-74), provider errors surfaced as
+    RuntimeError (remote.py:78-96)."""
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import litellm  # import-gated
+
+        for s in batches:
+            texts = s.fillna("").tolist()
+            try:
+                resp = litellm.embedding(
+                    model=model_name,
+                    input=texts,
+                    api_key=api_key,
+                    api_base=api_base,
+                    timeout=timeout,
+                )
+            except Exception as exc:  # error mapping, remote.py:78-96
+                raise RuntimeError(f"remote embedding failed: {exc}") from exc
+            mat = np.array([d["embedding"] for d in resp["data"]], dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            yield pd.Series(list(mat / norms))
+
+    return embed
+
+
+def create_embedder(cfg: AnalysisConfig) -> Callable[[DataFrame, str], DataFrame]:
+    """Factory (embedding/__init__.py:10-31 pattern): returns a stage
+    function df -> df + `embedding: array<double>` column."""
+    if cfg.backend == "hash":
+        udf = _hash_embed_udf(cfg.embedding_dim)
+    elif cfg.backend == "sentence-transformers":
+        udf = _sentence_transformer_udf(cfg.model_name, cfg.batch_size)
+    elif cfg.backend == "remote":
+        udf = _remote_udf(cfg.model_name, cfg.api_base, cfg.api_key, cfg.request_timeout)
+    else:  # pragma: no cover - config validates
+        raise ValueError(cfg.backend)
+
+    def embed_stage(df: DataFrame, content_col: str = "content") -> DataFrame:
+        return df.withColumn("embedding", udf(F.col(content_col)))
+
+    return embed_stage
+
+
+def normalize_vec_col(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """L2-normalize an array<numeric> column JVM-side (no Python):
+    norm via aggregate(), divide via transform(). Zero vectors pass
+    through unchanged."""
+    vec = F.transform(F.col(col), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return df.withColumn(
+        col,
+        F.when(norm > 0.0, F.transform(vec, lambda x: x / norm)).otherwise(vec),
+    )

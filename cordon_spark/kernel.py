@@ -1,0 +1,331 @@
+"""Shared numpy kernel — ONE implementation of embedding + scoring math.
+
+Both the pure-Python oracle (cordon_spark.oracle) and the Spark pandas
+UDFs (cordon_spark.operators.*) call these functions, so Spark-vs-oracle
+parity is exact by construction (the strategy SURVEY.md §7.4 requires).
+
+Numeric contract:
+  - embeddings are float64, L2-normalized (reference normalizes at embed
+    time: src/cordon/embedding/transformer.py:140, llama_cpp.py:62-64).
+    float64 (not the reference's float32) so results are stable across
+    chunk shapes / BLAS paths; at 100 TB the stored column can be float32
+    while the score math stays float64.
+  - cosine distance = clamp(1 - dot, 0, 2)   (scorer.py:197,297)
+  - score = mean of the k smallest distances after dropping the single
+    smallest slot (self, distance 0)          (scorer.py:216-217,316-317)
+  - candidate chunk boundaries are absolute offsets into the full
+    matrix, so scores are independent of how queries are partitioned
+    (the reference's batch-size-invariance property,
+    tests/test_analysis.py:76-100).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import numpy as np
+
+_WS_END = re.compile(r"[ \t\n\r\f\v]+$")
+
+# token -> (bucket, sign) memo; tokens in templated logs repeat heavily
+_TOKEN_CACHE: dict[tuple[str, int], tuple[int, float]] = {}
+_TOKEN_CACHE_MAX = 1_000_000
+
+
+def rstrip_text(text: str | None) -> str:
+    """ASCII-whitespace rstrip, identical on both engines.
+
+    Reference strips trailing whitespace at read time
+    (src/cordon/ingestion/reader.py:25).
+    """
+    if text is None:
+        return ""
+    return _WS_END.sub("", text)
+
+
+def tokenize(text: str) -> list[str]:
+    return text.lower().split()
+
+
+def _token_feature(tok: str, dim: int) -> tuple[int, float]:
+    key = (tok, dim)
+    hit = _TOKEN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    h = hashlib.md5(tok.encode("utf-8", "surrogatepass")).hexdigest()
+    bucket = int(h[:8], 16) % dim
+    sign = 1.0 if int(h[8], 16) % 2 == 0 else -1.0
+    if len(_TOKEN_CACHE) < _TOKEN_CACHE_MAX:
+        _TOKEN_CACHE[key] = (bucket, sign)
+    return bucket, sign
+
+
+def embed_texts(texts: list[str], dim: int = 64) -> np.ndarray:
+    """Deterministic hashed bag-of-tokens embedding, L2-normalized float64.
+
+    Sandbox stand-in for the reference's sentence-transformer backend
+    (src/cordon/embedding/transformer.py:99-147) behind the same factory
+    seam (embedding/__init__.py:10-31). Same contract: one L2-normalized
+    vector per text; all-zero for empty text.
+    """
+    out = np.zeros((len(texts), dim), dtype=np.float64)
+    for i, text in enumerate(texts):
+        row = out[i]
+        for tok in tokenize(text or ""):
+            bucket, sign = _token_feature(tok, dim)
+            row[bucket] += sign
+    norms = np.sqrt(np.einsum("ij,ij->i", out, out))
+    nz = norms > 0.0
+    out[nz] /= norms[nz, None]
+    return out
+
+
+def knn_scores(
+    queries: np.ndarray,
+    candidates: np.ndarray,
+    k_neighbors: int,
+    chunk_size: int = 8192,
+) -> np.ndarray:
+    """Mean cosine distance from each query to its k nearest candidates.
+
+    `queries` must be rows of `candidates` (self-exclusion works by
+    dropping the guaranteed-smallest slot: self distance 0, or a
+    tied exact-duplicate at 0 — same value either way, scorer.py:216).
+
+    Blocked exactly like the reference CPU path (scorer.py:264-305):
+    similarities in candidate chunks, running top-k via concatenate +
+    partial sort, distances clamped to [0, 2]. Edge cases: 0 rows -> [],
+    single candidate -> score 0.0 (scorer.py:340-346).
+    """
+    nq = queries.shape[0]
+    if nq == 0:
+        return np.zeros(0, dtype=np.float64)
+    n = candidates.shape[0]
+    if n <= 1:
+        return np.zeros(nq, dtype=np.float64)
+    # min(k+1, n) including the self slot (scorer.py:76-87)
+    nn = min(k_neighbors + 1, n)
+    queries = np.asarray(queries, dtype=np.float64)
+    candidates = np.asarray(candidates, dtype=np.float64)
+    top = np.full((nq, nn), np.inf, dtype=np.float64)
+    for cs in range(0, n, chunk_size):
+        ce = min(cs + chunk_size, n)
+        sims = queries @ candidates[cs:ce].T
+        dists = np.clip(1.0 - sims, 0.0, 2.0)
+        combined = np.concatenate([top, dists], axis=1)
+        if combined.shape[1] > nn:
+            part = np.argpartition(combined, nn - 1, axis=1)[:, :nn]
+            vals = np.take_along_axis(combined, part, axis=1)
+        else:
+            vals = combined
+        vals.sort(axis=1)
+        top = vals
+    # drop slot 0 (self), mean the rest (scorer.py:216-217)
+    return top[:, 1:].mean(axis=1)
+
+
+def centroid_scores(
+    queries: np.ndarray, signatures: list, centroid_map: dict, default: np.ndarray
+) -> np.ndarray:
+    """Scale-path scorer: cosine distance to own-signature centroid.
+
+    The 10^12-turn substitute for exact O(n^2) k-NN (see SURVEY.md §7.5):
+    per-template centroid sketches held in broadcast state; score =
+    clamp(1 - dot(embedding, centroid[sig]), 0, 2).
+    """
+    nq = queries.shape[0]
+    out = np.zeros(nq, dtype=np.float64)
+    for i in range(nq):
+        cen = centroid_map.get(signatures[i])
+        if cen is None:
+            cen = default
+        out[i] = min(max(1.0 - float(np.dot(queries[i], cen)), 0.0), 2.0)
+    return out
+
+
+def exact_percentile(values: np.ndarray, pct: float) -> float:
+    """np.percentile with linear interpolation — the reference's threshold
+    definition (thresholder.py:71-73). Spark's exact `percentile` uses the
+    same definition; `percentile_approx` does NOT and must not be used for
+    the final threshold."""
+    return float(np.percentile(np.asarray(values, dtype=np.float64), pct))
+
+
+def percentile_thresholds(scores: np.ndarray, cfg) -> tuple[float | None, float | None]:
+    """(lower, upper) thresholds; semantics of thresholder.py:17-81.
+
+    Percentile mode -> (threshold, None): keep score >= threshold.
+    Range mode      -> (lower, upper):    keep lower <= score < upper.
+    keep_all / keep_none shortcuts handled by callers via cfg.
+    """
+    if cfg.range_mode:
+        upper = exact_percentile(scores, (1.0 - cfg.anomaly_range_min) * 100.0)
+        lower = exact_percentile(scores, (1.0 - cfg.anomaly_range_max) * 100.0)
+        return lower, upper
+    if cfg.keep_all or cfg.keep_none:
+        return None, None
+    thr = exact_percentile(scores, (1.0 - cfg.anomaly_percentile) * 100.0)
+    return thr, None
+
+
+def select_mask(scores: np.ndarray, cfg) -> np.ndarray:
+    """Boolean keep-mask per thresholder.py tie rules: percentile mode is
+    `>=` inclusive (:76); range mode is lower-inclusive, upper-exclusive
+    (:51-53); isclose shortcuts for 0.0 / 1.0 (:63-68)."""
+    scores = np.asarray(scores, dtype=np.float64)
+    if cfg.keep_all:
+        return np.ones(scores.shape[0], dtype=bool)
+    if cfg.keep_none:
+        return np.zeros(scores.shape[0], dtype=bool)
+    lower, upper = percentile_thresholds(scores, cfg)
+    if cfg.range_mode:
+        return (scores >= lower) & (scores < upper)
+    return scores >= lower
+
+
+def merge_intervals(
+    intervals: list[tuple[int, int, int, float]],
+) -> list[tuple[int, int, tuple[int, ...], float]]:
+    """Sweep-line merge of (start, end, window_id, score) intervals into
+    (start, end, original_window_ids, max_score) blocks.
+
+    Sorted by start; merges overlapping OR adjacent (start <= end + 1,
+    merger.py:47); accumulates contributing ids and running max score
+    (merger.py:49-51)."""
+    if not intervals:
+        return []
+    intervals = sorted(intervals, key=lambda iv: iv[0])
+    blocks: list[tuple[int, int, tuple[int, ...], float]] = []
+    cur_start, cur_end, first_id, first_score = intervals[0]
+    ids = [first_id]
+    max_score = first_score
+    for start, end, wid, score in intervals[1:]:
+        if start <= cur_end + 1:
+            cur_end = max(cur_end, end)
+            ids.append(wid)
+            max_score = max(max_score, score)
+        else:
+            blocks.append((cur_start, cur_end, tuple(ids), max_score))
+            cur_start, cur_end, ids, max_score = start, end, [wid], score
+    blocks.append((cur_start, cur_end, tuple(ids), max_score))
+    return blocks
+
+
+def format_block(start: int, end: int, max_score: float, lines: list[str]) -> str:
+    """Reference XML block rendering (formatter.py:55-58): raw
+    (unstripped) lines, newline-joined, %.4f score. Rendered with Python
+    formatting on BOTH engines (Java's %.4f half-up rounding differs from
+    Python's half-even)."""
+    tag = f'<block lines="{start}-{end}" score="{max_score:.4f}">'
+    body = "\n".join(lines)
+    return f"{tag}\n{body}\n</block>"
+
+
+def score_distribution(scores: np.ndarray) -> dict[str, float]:
+    """min/max/mean/median/p90 of scores; zeros when empty
+    (pipeline.py:100-126)."""
+    scores = np.asarray(scores, dtype=np.float64)
+    if scores.size == 0:
+        return {"min": 0.0, "max": 0.0, "mean": 0.0, "median": 0.0, "p90": 0.0}
+    return {
+        "min": float(scores.min()),
+        "max": float(scores.max()),
+        "mean": float(scores.mean()),
+        "median": exact_percentile(scores, 50.0),
+        "p90": exact_percentile(scores, 90.0),
+    }
+
+
+def l2_normalize(mat: np.ndarray) -> np.ndarray:
+    mat = np.asarray(mat, dtype=np.float64)
+    norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+    nz = norms > 0.0
+    out = mat.copy()
+    out[nz] /= norms[nz, None]
+    return out
+
+
+def round_half_even(value: float, digits: int) -> float:
+    """Python round() — used when exposing scores to cross-engine hash
+    comparison (DuckDB ROUND is half-up; Spark ROUND is half-up; Python is
+    half-even). For oracle SQL parity we round via floor(x*10^d + 0.5)
+    on both engines instead; this helper is only for driver-side stats."""
+    return round(value, digits)
+
+
+def clear_caches() -> None:
+    _TOKEN_CACHE.clear()
+
+
+def stable_hash64(text: str) -> int:
+    """Deterministic 64-bit hash (md5-based) shared with SQL oracles via
+    md5 hex strings; independent of PYTHONHASHSEED."""
+    return int(hashlib.md5(text.encode("utf-8", "surrogatepass")).hexdigest()[:16], 16)
+
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over tokens using md5 bits (near-dup fingerprint)."""
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in tokens:
+        h = stable_hash64(tok)
+        for b in range(64):
+            acc[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for b in range(64):
+        if acc[b] > 0:
+            out |= 1 << b
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return int(bin(a ^ b).count("1"))
+
+
+def token_shingles(tokens: list[str], n: int) -> list[str]:
+    """Distinct, order-preserving n-gram shingles joined by single space."""
+    if len(tokens) < n:
+        return [" ".join(tokens)] if tokens else []
+    seen: dict[str, None] = {}
+    for i in range(len(tokens) - n + 1):
+        seen[" ".join(tokens[i : i + n])] = None
+    return list(seen.keys())
+
+
+def minhash_band_keys(shingles: list[str], bands: int, rows: int) -> list[str]:
+    """MinHash-LSH band keys using lexicographic-min md5 hex per hash fn.
+
+    Hash family j (j in [0, bands*rows)): h_j(s) = md5(f"{j}|{s}") hex;
+    signature_j = min over shingles. Band key b = "b|m_0|m_1|..." over its
+    `rows` signatures. Min over hex STRINGS so the same family is
+    expressible in SQL (md5 + min) for the DuckDB oracle.
+    """
+    if not shingles:
+        return []
+    keys = []
+    for b in range(bands):
+        parts = [str(b)]
+        for r in range(rows):
+            j = b * rows + r
+            prefix = f"{j}|"
+            parts.append(
+                min(hashlib.md5((prefix + s).encode("utf-8")).hexdigest() for s in shingles)
+            )
+        keys.append("|".join(parts))
+    return keys
+
+
+def jaccard(a: list[str], b: list[str]) -> float:
+    sa, sb = set(a), set(b)
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    union = len(sa) + len(sb) - inter
+    return inter / union if union else 0.0
+
+
+def isclose_frac(a: float, b: float) -> bool:
+    return math.isclose(a, b)

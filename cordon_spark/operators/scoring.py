@@ -1,0 +1,149 @@
+"""OP-5: k-NN density anomaly scoring (scorer.py:129-321) + the
+centroid-sketch scale path (SURVEY.md §7.5 / north_star).
+
+Exact k-NN, Spark spelling
+--------------------------
+The reference materializes an (n_windows x dim) float32 matrix and runs
+blocked matmul + running top-k (scorer.py:147,247 / :264-305). n_windows
+is n_turns / window_size — small relative to the input — so the idiomatic
+distributed form is:
+
+  1. collect the (id-ordered) embedding matrix once (Arrow toPandas),
+  2. BROADCAST it to all executors,
+  3. mapInPandas: each partition scores ITS OWN rows against the
+     broadcast matrix with the shared numpy kernel — embarrassingly
+     parallel, zero shuffle, and partition-invariant by construction
+     (the reference's batch-size-invariance property,
+     tests/test_analysis.py:76-100).
+
+The relational spelling (crossJoin + Window row_number <= k + avg) is
+kept in the DuckDB oracle SQL only — it is the O(n^2)-shuffle plan you
+must NOT run at scale.
+
+Centroid sketch, 100 TB path
+----------------------------
+Exact k-NN is O(n^2) in windows and needs the full matrix per executor;
+at 10^12 turns both break. north_star substitutes per-template centroid
+sketches in broadcast state: score = cosine distance to the centroid of
+the window's template signature. That is one groupBy(signature) over a
+tiny key space + one broadcast dict — O(n * templates).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from cordon_spark.config import AnalysisConfig
+
+_SCORE_FIELD = T.StructField("score", T.DoubleType(), False)
+
+
+def _collect_matrix(windows: DataFrame, id_cols: list[str]) -> np.ndarray:
+    pdf = (
+        windows.select(*id_cols, "embedding")
+        .orderBy(*id_cols)
+        .toPandas()
+    )
+    if len(pdf) == 0:
+        return np.zeros((0, 1), dtype=np.float64)
+    return np.array(pdf["embedding"].tolist(), dtype=np.float64)
+
+
+def score_windows_knn(
+    spark: SparkSession,
+    windows: DataFrame,
+    cfg: AnalysisConfig,
+    id_cols: tuple[str, ...] = ("conv_id", "window_id"),
+) -> DataFrame:
+    """windows(+embedding) -> windows(+score). Exact k-NN vs all windows.
+
+    Single-window edge: score 0.0 (scorer.py:344-346); empty input:
+    empty output (scorer.py:340-341) — both handled inside the kernel.
+    """
+    matrix = _collect_matrix(windows, list(id_cols))
+    bc = spark.sparkContext.broadcast(matrix)
+    k, chunk = cfg.k_neighbors, cfg.scoring_chunk_size
+    schema = T.StructType(windows.schema.fields + [_SCORE_FIELD])
+
+    def score_partition(batches):
+        from cordon_spark import kernel
+
+        cand = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(score=pd.Series(dtype="float64"))
+                continue
+            queries = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            scores = kernel.knn_scores(queries, cand, k, chunk)
+            yield pdf.assign(score=scores)
+
+    return windows.mapInPandas(score_partition, schema)
+
+
+def template_centroids(
+    windows: DataFrame, signature_col: str = "signature"
+) -> DataFrame:
+    """Per-signature centroid of L2-normalized embeddings, JVM-side:
+    posexplode -> avg per (signature, dim) -> re-assemble ordered array ->
+    normalize. One shuffle over a tiny key space; result is broadcast
+    state."""
+    exploded = windows.select(
+        signature_col, F.posexplode("embedding").alias("dim", "val")
+    )
+    per_dim = exploded.groupBy(signature_col, "dim").agg(F.avg("val").alias("val"))
+    assembled = per_dim.groupBy(signature_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "val"))), lambda s: s["val"]
+        ).alias("centroid")
+    )
+    norm = F.sqrt(
+        F.aggregate("centroid", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return assembled.withColumn(
+        "centroid",
+        F.when(norm > 0.0, F.transform("centroid", lambda x: x / norm)).otherwise(
+            F.col("centroid")
+        ),
+    )
+
+
+def score_windows_centroid(
+    spark: SparkSession,
+    windows: DataFrame,
+    cfg: AnalysisConfig,
+    signature_col: str = "signature",
+) -> DataFrame:
+    """Scale-path scorer: cosine distance to own-signature centroid held
+    in broadcast state; unseen signatures fall back to the global
+    centroid. O(n); no O(n^2) anywhere; broadcast is
+    O(templates * dim)."""
+    cen_pdf = template_centroids(windows, signature_col).toPandas()
+    cmap = {
+        row[signature_col]: np.asarray(row["centroid"], dtype=np.float64)
+        for _, row in cen_pdf.iterrows()
+    }
+    if cmap:
+        global_cen = np.mean(np.stack(list(cmap.values())), axis=0)
+        nrm = float(np.linalg.norm(global_cen))
+        if nrm > 0:
+            global_cen = global_cen / nrm
+    else:
+        global_cen = np.zeros(cfg.embedding_dim, dtype=np.float64)
+    bc = spark.sparkContext.broadcast((cmap, global_cen))
+    schema = T.StructType(windows.schema.fields + [_SCORE_FIELD])
+
+    def score_partition(batches):
+        from cordon_spark import kernel
+
+        cmap_w, default = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(score=pd.Series(dtype="float64"))
+                continue
+            queries = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            sigs = pdf[signature_col].tolist()
+            yield pdf.assign(score=kernel.centroid_scores(queries, sigs, cmap_w, default))
+
+    return windows.mapInPandas(score_partition, schema)

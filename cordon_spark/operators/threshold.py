@@ -1,0 +1,134 @@
+"""OP-6: percentile threshold filter (thresholder.py:17-81).
+
+Numeric contract: the threshold is an EXACT percentile with linear
+interpolation — numpy's definition (thresholder.py:71-73). Spark's
+exact `percentile` aggregate implements the same definition;
+`percentile_approx` does not and is only used to BRACKET the threshold
+on the scale path.
+
+Tie rules copied verbatim (SURVEY.md §4):
+  percentile mode: keep score >= threshold (ties included, :76)
+  range mode:      keep lower <= score < upper (:51-53)
+  isclose(p, 1.0) -> keep all; isclose(p, 0.0) -> keep none (:63-68)
+
+Scale path (SURVEY.md §7.5): exact global percentile needs a global
+sort; at 10^12 rows we bracket with percentile_approx(+/- accuracy),
+then run the exact percentile only over the bracketed band (tiny).
+`exact_percentiles()` picks the strategy by row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cordon_spark.config import AnalysisConfig
+
+# above this many rows, bracket with approx before the exact pass
+EXACT_PERCENTILE_DIRECT_LIMIT = 50_000_000
+
+
+def exact_percentiles(
+    df: DataFrame, col: str, pcts: list[float], n_rows: int | None = None
+) -> list[float]:
+    """Exact linear-interpolation percentiles of df[col] (pcts in [0,100]).
+
+    Direct mode: one exact `percentile` aggregate.
+    Bracketed mode (huge inputs): percentile_approx bounds each target,
+    counts below the band give the exact global rank offset, then the
+    exact order statistics are interpolated from the (small) band.
+    """
+    if n_rows is None:
+        n_rows = df.count()
+    if n_rows == 0:
+        return [float("nan") for _ in pcts]
+    qs = [p / 100.0 for p in pcts]
+    if n_rows <= EXACT_PERCENTILE_DIRECT_LIMIT:
+        row = df.select(
+            F.expr(
+                "percentile({c}, array({qs}))".format(
+                    c=col, qs=",".join(repr(q) for q in qs)
+                )
+            ).alias("p")
+        ).first()
+        return [float(v) for v in row["p"]]
+    return _bracketed_percentiles(df, col, qs, n_rows)
+
+
+def _bracketed_percentiles(df: DataFrame, col: str, qs: list[float], n_rows: int):
+    """Two-phase exact percentile for huge inputs.
+
+    percentile_approx(accuracy=A) guarantees rank error <= n/A; so the
+    approx values at q -/+ margin bound the exact order statistics at
+    ranks floor/ceil((n-1)q). We count rows strictly below the lower
+    bound (-> global rank offset), collect ONLY the bracketed band
+    (O(n/A) rows), and interpolate exactly — identical result to the
+    direct exact percentile."""
+    accuracy = 10_000
+    margin = 3.0 / accuracy  # > guaranteed rank error, with slack
+    lo_qs = [max(q - margin, 0.0) for q in qs]
+    hi_qs = [min(q + margin, 1.0) for q in qs]
+    bounds = df.select(
+        F.percentile_approx(col, lo_qs + hi_qs, accuracy).alias("b")
+    ).first()["b"]
+    out = []
+    for i, q in enumerate(qs):
+        a_lo, a_hi = float(bounds[i]), float(bounds[i + len(qs)])
+        rank = (n_rows - 1) * q
+        lo_idx, hi_idx = int(rank), min(int(rank) + 1, n_rows - 1)
+        n_below = df.filter(F.col(col) < a_lo).count()
+        band = [
+            float(r[0])
+            for r in df.filter(
+                (F.col(col) >= a_lo) & (F.col(col) <= a_hi)
+            )
+            .select(col)
+            .orderBy(col)
+            .collect()
+        ]
+        pos_lo, pos_hi = lo_idx - n_below, hi_idx - n_below
+        if not band or pos_lo < 0 or pos_hi >= len(band):
+            # bracket missed (shouldn't happen) — fall back to direct exact
+            out.append(
+                float(df.select(F.expr(f"percentile({col}, {q!r})")).first()[0])
+            )
+            continue
+        frac = rank - lo_idx
+        out.append(band[pos_lo] + (band[pos_hi] - band[pos_lo]) * frac)
+    return out
+
+
+def compute_thresholds(
+    scored: DataFrame, cfg: AnalysisConfig, score_col: str = "score"
+) -> tuple[float | None, float | None]:
+    """(lower, upper) per kernel.percentile_thresholds semantics."""
+    if cfg.keep_all or cfg.keep_none:
+        return None, None
+    if cfg.range_mode:
+        upper_p = (1.0 - cfg.anomaly_range_min) * 100.0
+        lower_p = (1.0 - cfg.anomaly_range_max) * 100.0
+        lo, up = exact_percentiles(scored, score_col, [lower_p, upper_p])
+        return lo, up
+    (thr,) = exact_percentiles(
+        scored, score_col, [(1.0 - cfg.anomaly_percentile) * 100.0]
+    )
+    return thr, None
+
+
+def select_significant(
+    scored: DataFrame, cfg: AnalysisConfig, score_col: str = "score"
+) -> tuple[DataFrame, float | None, float | None]:
+    """Filter scored windows by the threshold; returns (df, lower, upper).
+    Sorting score-desc (thresholder.py:79) is left to consumers — a
+    global orderBy is only warranted at output time."""
+    if cfg.keep_none:
+        return scored.filter(F.lit(False)), None, None
+    if cfg.keep_all:
+        return scored, None, None
+    lower, upper = compute_thresholds(scored, cfg, score_col)
+    if cfg.range_mode:
+        kept = scored.filter(
+            (F.col(score_col) >= F.lit(lower)) & (F.col(score_col) < F.lit(upper))
+        )
+    else:
+        kept = scored.filter(F.col(score_col) >= F.lit(lower))
+    return kept, lower, upper

@@ -1,0 +1,176 @@
+"""Pipeline orchestrator (reference: src/cordon/pipeline.py:17-98).
+
+Wires the stages parse -> window -> embed -> score -> threshold ->
+merge -> route -> sinks with:
+
+  * stage timings + row counts (StageMetrics, Observation-based),
+  * per-partition lineage records (north_rule),
+  * optional snapshot checkpointing per stage through a Catalog, with
+    idempotent RESUME: a stage keyed (run_id, stage) whose snapshot is
+    already committed is read back instead of recomputed (the analog of
+    the reference benchmark's --resume, evaluate.py:898-965).
+
+The scored-windows DataFrame feeds three consumers (threshold, stats,
+filter); with a catalog it is materialized once as a snapshot, else
+persisted in memory.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cordon_spark.config import AnalysisConfig
+from cordon_spark.functions.embeddings import create_embedder
+from cordon_spark.operators import metrics as M
+from cordon_spark.operators import parse as P
+from cordon_spark.operators.merge import merge_blocks
+from cordon_spark.operators.routing import route_turns, sink_counts, split_sinks
+from cordon_spark.operators.scoring import score_windows_centroid, score_windows_knn
+from cordon_spark.operators.threshold import select_significant
+from cordon_spark.operators.windowing import segment_windows
+
+
+@dataclass
+class PipelineResult:
+    scored_windows: DataFrame
+    significant: DataFrame
+    blocks: DataFrame
+    routed: DataFrame
+    threshold_lower: float | None
+    threshold_upper: float | None
+    stats: dict = field(default_factory=dict)
+    metrics: dict = field(default_factory=dict)
+    counts: dict = field(default_factory=dict)
+
+
+def _checkpoint(
+    spark, catalog, run_id, stage, df_builder, metrics: M.StageMetrics, resume: bool
+):
+    """Build-or-load a stage through the snapshot catalog."""
+    if catalog is None:
+        df = df_builder()
+        return df, False
+    snapshot_id = f"{run_id}-{stage}"
+    if resume and catalog.has_snapshot(stage, snapshot_id):
+        metrics.add(stage, "resumed", 1.0)
+        return catalog.read(spark, stage, snapshot_id), True
+    df = df_builder()
+    lineage_rows = M.partition_lineage(df, stage).collect()
+    catalog.write_snapshot(
+        df,
+        stage,
+        snapshot_id,
+        lineage={
+            "partitions": [
+                {"partition_id": r["partition_id"], "rows": r["rows"]}
+                for r in lineage_rows
+            ]
+        },
+    )
+    metrics.add(stage, "rows", float(sum(r["rows"] for r in lineage_rows)))
+    return catalog.read(spark, stage, snapshot_id), False
+
+
+def analyze_transcripts(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    cfg: AnalysisConfig | None = None,
+    templates: list[tuple[str, str]] | None = None,
+    catalog=None,
+    run_id: str = "run0",
+    resume: bool = False,
+) -> PipelineResult:
+    cfg = cfg or AnalysisConfig()
+    metrics = M.StageMetrics()
+
+    # ---- parse (template extraction; feeds centroid signatures) ------
+    turns = transcripts
+    if templates or cfg.scorer == "centroid":
+        tpls = templates or []
+        metrics.start("parse")
+        turns = P.extract_templates(transcripts, tpls) if tpls else transcripts
+        metrics.stop("parse")
+
+    # ---- window + embed + score (one composed plan, checkpointed) ----
+    def build_scored() -> DataFrame:
+        windows = segment_windows(turns, cfg)
+        if cfg.scorer == "centroid":
+            sig_src = turns.withColumn(
+                "window_id", (F.col("turn_idx") / F.lit(cfg.window_size)).cast("long")
+            )
+            sigs = P.window_signature(sig_src, by=("conv_id", "window_id"))
+            windows = windows.join(sigs, on=["conv_id", "window_id"], how="left")
+        embed = create_embedder(cfg)
+        embedded = embed(windows, "content")
+        if cfg.scorer == "centroid":
+            return score_windows_centroid(spark, embedded, cfg)
+        return score_windows_knn(spark, embedded, cfg)
+
+    metrics.start("score")
+    scored, _ = _checkpoint(
+        spark, catalog, run_id, "scored_windows", build_scored, metrics, resume
+    )
+    if catalog is None:
+        scored = scored.persist()
+    metrics.stop("score")
+
+    # ---- threshold ----------------------------------------------------
+    metrics.start("threshold")
+    significant, lower, upper = select_significant(scored, cfg)
+    metrics.stop("threshold")
+
+    # ---- merge ---------------------------------------------------------
+    metrics.start("merge")
+    blocks, _ = _checkpoint(
+        spark,
+        catalog,
+        run_id,
+        "blocks",
+        lambda: merge_blocks(significant),
+        metrics,
+        resume,
+    )
+    metrics.stop("merge")
+
+    # ---- route + sinks --------------------------------------------------
+    metrics.start("route")
+    routed, _ = _checkpoint(
+        spark,
+        catalog,
+        run_id,
+        "routed_turns",
+        lambda: route_turns(transcripts, blocks),
+        metrics,
+        resume,
+    )
+    counts = sink_counts(routed)
+    if catalog is not None:
+        anomalous, routine = split_sinks(routed)
+        for name, df in (("anomalous_turns", anomalous), ("routine_turns", routine)):
+            sid = f"{run_id}-{name}"
+            if not (resume and catalog.has_snapshot(name, sid)):
+                catalog.write_snapshot(df, name, sid)
+    metrics.stop("route", anomalous=counts["anomalous"], routine=counts["routine"])
+
+    # ---- stats (OP-10) ---------------------------------------------------
+    metrics.start("stats")
+    stats = M.score_distribution(scored)
+    stats["total_windows"] = scored.count()
+    stats["significant_windows"] = significant.count()
+    stats["merged_blocks"] = blocks.count()
+    metrics.stop("stats")
+
+    return PipelineResult(
+        scored_windows=scored,
+        significant=significant,
+        blocks=blocks,
+        routed=routed,
+        threshold_lower=lower,
+        threshold_upper=upper,
+        stats=stats,
+        metrics=metrics.to_dict(),
+        counts=counts,
+    )
