@@ -1,0 +1,713 @@
+"""Driver-contract queries: every SURVEY.md §2 operator (plus the
+training-data ops) as a (Spark callable, DuckDB oracle SQL) pair over
+the pre-registered testdata views.
+
+Design: the primary input of the engine is a transcripts table
+(input_hint); the driver's oracle views don't include one, so queries
+DERIVE a transcripts-shaped table deterministically from `documents`
+(conv_id = doc_id // 50, turn_idx = doc_id % 50) and use the 64-d
+vectors in `embeddings` (joined on vec_id = doc_id) as precomputed turn
+embeddings — which makes the FULL pipeline (window -> embed -> score ->
+threshold -> merge -> route) SQL-expressible and hash-checkable.
+
+Cross-engine numeric contract:
+  * all float outputs rounded via floor(x*10000 + 0.5)/10000 (explicit
+    half-up on both engines; Spark ROUND and Python round() disagree)
+  * counts cast to long (DuckDB count() is BIGINT)
+  * md5 hex strings as the shared deterministic hash family
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cordon_spark.config import AnalysisConfig
+from cordon_spark.operators import dedup as D
+from cordon_spark.operators import similarity as S
+from cordon_spark.functions import text as TX
+from cordon_spark.operators.merge import merge_blocks
+from cordon_spark.operators.parse import extract_templates
+from cordon_spark.operators.routing import route_turns
+from cordon_spark.operators.scoring import score_windows_knn
+from cordon_spark.operators.threshold import select_significant
+from cordon_spark.operators.windowing import segment_windows
+from cordon_spark.session import ship_package
+
+K = 5
+WS = 4
+P = 0.1
+NGRAM_TAU = 0.2
+MINHASH_TAU = 0.5
+COSINE_TAU = 0.4
+ANN_K = 5
+ANN_NQ = 10
+
+
+def r4(col, name):
+    return (F.floor(col * 10000 + F.lit(0.5)) / 10000).alias(name)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def derived_transcripts(spark, sf_dir) -> DataFrame:
+    """documents -> transcripts-shaped (conv_id, turn_idx, text)."""
+    return _docs(spark, sf_dir).select(
+        F.concat(F.lit("c"), F.floor(F.col("doc_id") / 50).cast("long").cast("string")).alias(
+            "conv_id"
+        ),
+        F.col("doc_id").alias("turn_idx"),  # re-based below
+        "text",
+    ).withColumn("turn_idx", F.col("turn_idx") % 50)
+
+
+TRANSCRIPTS_SQL = (
+    "SELECT 'c' || CAST(doc_id // 50 AS VARCHAR) AS conv_id, "
+    "doc_id % 50 AS turn_idx, text FROM documents"
+)
+
+_RTRIM = "rtrim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11))"
+
+NORM_EMB_SQL = """
+e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+nrm AS (SELECT vec_id, sqrt(list_dot_product(v0, v0)) AS nn, v0 FROM e0),
+nv AS (SELECT vec_id, CASE WHEN nn > 0 THEN list_transform(v0, x -> x / nn) ELSE v0 END AS v FROM nrm)
+"""
+
+KNN_SQL = (
+    NORM_EMB_SQL
+    + """,
+kd AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+              greatest(0.0, least(2.0, 1.0 - list_dot_product(a.v, b.v))) AS dist
+       FROM nv a JOIN nv b ON a.vec_id <> b.vec_id),
+kr AS (SELECT qid, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn FROM kd),
+ks AS (SELECT qid AS vec_id, avg(dist) AS score FROM kr WHERE rn <= 5 GROUP BY qid)
+"""
+)
+
+
+def _normalized_vectors(spark, sf_dir) -> DataFrame:
+    return S.normalize(_emb(spark, sf_dir).withColumn("v", F.col("embedding")), "v").select(
+        "vec_id", "v"
+    )
+
+
+def _knn_scored(spark, sf_dir) -> DataFrame:
+    vecs = _normalized_vectors(spark, sf_dir).withColumnRenamed("v", "embedding")
+    cfg = AnalysisConfig(k_neighbors=K)
+    return score_windows_knn(spark, vecs, cfg, id_cols=("vec_id",))
+
+
+# ------------------------------------------------------------------ #
+# OP-3: window segmentation
+# ------------------------------------------------------------------ #
+def q_window_segment(spark, sf_dir):
+    ship_package(spark)
+    t = derived_transcripts(spark, sf_dir)
+    cfg = AnalysisConfig(window_size=WS)
+    return segment_windows(t, cfg).select(
+        "conv_id", "window_id", "start_idx", "end_idx", "n_turns", "content"
+    )
+
+
+SQL_WINDOW_SEGMENT = f"""
+WITH t AS ({TRANSCRIPTS_SQL}),
+s AS (SELECT conv_id, turn_idx, {_RTRIM} AS ts FROM t)
+SELECT conv_id, turn_idx // {WS} AS window_id, min(turn_idx) AS start_idx,
+       max(turn_idx) AS end_idx, count(*) AS n_turns,
+       string_agg(ts, chr(10) ORDER BY turn_idx) AS content
+FROM s GROUP BY conv_id, turn_idx // {WS}
+"""
+
+
+# ------------------------------------------------------------------ #
+# OP-5: exact k-NN scoring over the embeddings table
+# ------------------------------------------------------------------ #
+def q_knn_score(spark, sf_dir):
+    ship_package(spark)
+    return _knn_scored(spark, sf_dir).select("vec_id", r4(F.col("score"), "score"))
+
+
+SQL_KNN_SCORE = f"WITH {KNN_SQL} SELECT vec_id, floor(score*10000 + 0.5)/10000 AS score FROM ks"
+
+
+# ------------------------------------------------------------------ #
+# OP-6: percentile threshold (tie-inclusive >=) and band mode
+# ------------------------------------------------------------------ #
+def q_threshold_percentile(spark, sf_dir):
+    ship_package(spark)
+    scored = _knn_scored(spark, sf_dir)
+    kept, _, _ = select_significant(scored, AnalysisConfig(anomaly_percentile=P))
+    return kept.select("vec_id", r4(F.col("score"), "score"))
+
+
+SQL_THRESHOLD_PERCENTILE = f"""
+WITH {KNN_SQL}, thr AS (SELECT quantile_cont(score, {1 - P}) AS t FROM ks)
+SELECT vec_id, floor(score*10000 + 0.5)/10000 AS score FROM ks, thr WHERE score >= thr.t
+"""
+
+
+def q_threshold_range(spark, sf_dir):
+    ship_package(spark)
+    scored = _knn_scored(spark, sf_dir)
+    cfg = AnalysisConfig(anomaly_range_min=0.05, anomaly_range_max=0.15)
+    kept, _, _ = select_significant(scored, cfg)
+    return kept.select("vec_id", r4(F.col("score"), "score"))
+
+
+SQL_THRESHOLD_RANGE = f"""
+WITH {KNN_SQL},
+thr AS (SELECT quantile_cont(score, 0.95) AS up, quantile_cont(score, 0.85) AS lo FROM ks)
+SELECT vec_id, floor(score*10000 + 0.5)/10000 AS score
+FROM ks, thr WHERE score >= thr.lo AND score < thr.up
+"""
+
+
+# ------------------------------------------------------------------ #
+# OP-7: gaps-and-islands interval merge
+# ------------------------------------------------------------------ #
+def q_merge_blocks(spark, sf_dir):
+    ship_package(spark)
+    scored = _knn_scored(spark, sf_dir)
+    intervals = scored.select(
+        F.concat(F.lit("c"), F.floor(F.col("vec_id") / 125).cast("long").cast("string")).alias(
+            "conv_id"
+        ),
+        (F.col("vec_id") % 125).alias("window_id"),
+        ((F.col("vec_id") % 125) * 4).alias("start_idx"),
+        ((F.col("vec_id") % 125) * 4 + 3).alias("end_idx"),
+        "score",
+    )
+    kept, _, _ = select_significant(intervals, AnalysisConfig(anomaly_percentile=P))
+    blocks = merge_blocks(kept)
+    return blocks.select(
+        "conv_id",
+        "start_idx",
+        "end_idx",
+        F.size("original_windows").cast("long").alias("n_windows"),
+        r4(F.col("max_score"), "max_score"),
+    )
+
+
+_MERGE_TAIL = """
+ord AS (SELECT *, max(end_idx) OVER (PARTITION BY conv_id ORDER BY start_idx, end_idx
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM sel),
+isl AS (SELECT *, sum(CASE WHEN pme IS NULL OR start_idx > pme + 1 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY conv_id ORDER BY start_idx, end_idx
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM ord),
+blocks AS (SELECT conv_id, min(start_idx) AS start_idx, max(end_idx) AS end_idx,
+           count(*) AS n_windows, max(score) AS max_score
+           FROM isl GROUP BY conv_id, island)
+"""
+
+SQL_MERGE_BLOCKS = f"""
+WITH {KNN_SQL},
+iv AS (SELECT 'c' || CAST(vec_id // 125 AS VARCHAR) AS conv_id,
+              (vec_id % 125) * 4 AS start_idx, (vec_id % 125) * 4 + 3 AS end_idx, score FROM ks),
+thr AS (SELECT quantile_cont(score, {1 - P}) AS t FROM iv),
+sel AS (SELECT iv.* FROM iv, thr WHERE score >= thr.t),
+{_MERGE_TAIL}
+SELECT conv_id, start_idx, end_idx, n_windows,
+       floor(max_score*10000 + 0.5)/10000 AS max_score FROM blocks
+"""
+
+
+# ------------------------------------------------------------------ #
+# OP-10: score distribution aggregate
+# ------------------------------------------------------------------ #
+def q_score_distribution(spark, sf_dir):
+    ship_package(spark)
+    scored = _knn_scored(spark, sf_dir)
+    return scored.agg(
+        r4(F.min("score"), "min_s"),
+        r4(F.max("score"), "max_s"),
+        r4(F.avg("score"), "mean_s"),
+        r4(F.expr("percentile(score, 0.5)"), "median_s"),
+        r4(F.expr("percentile(score, 0.90)"), "p90_s"),
+    )
+
+
+SQL_SCORE_DISTRIBUTION = f"""
+WITH {KNN_SQL}
+SELECT floor(min(score)*10000 + 0.5)/10000 AS min_s,
+       floor(max(score)*10000 + 0.5)/10000 AS max_s,
+       floor(avg(score)*10000 + 0.5)/10000 AS mean_s,
+       floor(quantile_cont(score, 0.5)*10000 + 0.5)/10000 AS median_s,
+       floor(quantile_cont(score, 0.90)*10000 + 0.5)/10000 AS p90_s
+FROM ks
+"""
+
+
+# ------------------------------------------------------------------ #
+# Flagship: full pipeline over derived transcripts with precomputed
+# turn vectors (window -> embed(mean) -> kNN score -> threshold ->
+# merge); plus the turn router over its blocks.
+# ------------------------------------------------------------------ #
+def _vec_pipeline(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    vecs = _normalized_vectors(spark, sf_dir)
+    turns = (
+        docs.join(vecs, docs.doc_id == vecs.vec_id)
+        .select(
+            F.concat(
+                F.lit("c"), F.floor(F.col("doc_id") / 50).cast("long").cast("string")
+            ).alias("conv_id"),
+            (F.col("doc_id") % 50).alias("turn_idx"),
+            "text",
+            "v",
+        )
+    )
+    with_wid = turns.withColumn("window_id", F.floor(F.col("turn_idx") / WS).cast("long"))
+    bounds = with_wid.groupBy("conv_id", "window_id").agg(
+        F.min("turn_idx").alias("start_idx"), F.max("turn_idx").alias("end_idx")
+    )
+    dims = with_wid.select("conv_id", "window_id", F.posexplode("v").alias("dim", "val"))
+    per_dim = dims.groupBy("conv_id", "window_id", "dim").agg(F.avg("val").alias("val"))
+    wvec = per_dim.groupBy("conv_id", "window_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "val"))), lambda s: s["val"]
+        ).alias("embedding")
+    )
+    wvec = S.normalize(wvec, "embedding")
+    windows = bounds.join(wvec, on=["conv_id", "window_id"])
+    cfg = AnalysisConfig(k_neighbors=K, anomaly_percentile=P)
+    scored = score_windows_knn(spark, windows, cfg)
+    kept, _, _ = select_significant(scored, cfg)
+    blocks = merge_blocks(kept)
+    return turns, blocks
+
+
+def q_pipeline_blocks(spark, sf_dir):
+    ship_package(spark)
+    _, blocks = _vec_pipeline(spark, sf_dir)
+    return blocks.select(
+        "conv_id",
+        "start_idx",
+        "end_idx",
+        F.size("original_windows").cast("long").alias("n_windows"),
+        r4(F.col("max_score"), "max_score"),
+    )
+
+
+PIPE_SQL = (
+    NORM_EMB_SQL
+    + f""",
+t AS (SELECT 'c' || CAST(d.doc_id // 50 AS VARCHAR) AS conv_id, d.doc_id % 50 AS turn_idx, nv.v AS v
+      FROM documents d JOIN nv ON nv.vec_id = d.doc_id),
+wb AS (SELECT conv_id, turn_idx // {WS} AS window_id, min(turn_idx) AS start_idx,
+              max(turn_idx) AS end_idx FROM t GROUP BY 1, 2),
+dims AS (SELECT conv_id, turn_idx // {WS} AS window_id,
+                generate_subscripts(v, 1) AS dim, unnest(v) AS val FROM t),
+wv0 AS (SELECT conv_id, window_id, dim, avg(val) AS val FROM dims GROUP BY 1, 2, 3),
+wv1 AS (SELECT conv_id, window_id, list(val ORDER BY dim) AS wv FROM wv0 GROUP BY 1, 2),
+wvn AS (SELECT conv_id, window_id, sqrt(list_dot_product(wv, wv)) AS nn, wv FROM wv1),
+wv AS (SELECT conv_id, window_id,
+              CASE WHEN nn > 0 THEN list_transform(wv, x -> x / nn) ELSE wv END AS wv FROM wvn),
+wd AS (SELECT a.conv_id AS qc, a.window_id AS qw, b.conv_id AS nc, b.window_id AS nw,
+              greatest(0.0, least(2.0, 1.0 - list_dot_product(a.wv, b.wv))) AS dist
+       FROM wv a JOIN wv b ON NOT (a.conv_id = b.conv_id AND a.window_id = b.window_id)),
+wr AS (SELECT qc, qw, dist, row_number() OVER (PARTITION BY qc, qw ORDER BY dist, nc, nw) AS rn FROM wd),
+wsc AS (SELECT qc AS conv_id, qw AS window_id, avg(dist) AS score FROM wr WHERE rn <= {K} GROUP BY 1, 2),
+scored AS (SELECT wb.conv_id, wb.window_id, wb.start_idx, wb.end_idx, wsc.score
+           FROM wb JOIN wsc USING (conv_id, window_id)),
+thr AS (SELECT quantile_cont(score, {1 - P}) AS t FROM scored),
+sel AS (SELECT s.* FROM scored s, thr WHERE s.score >= thr.t),
+{_MERGE_TAIL}
+"""
+)
+
+SQL_PIPELINE_BLOCKS = f"""
+WITH {PIPE_SQL}
+SELECT conv_id, start_idx, end_idx, n_windows,
+       floor(max_score*10000 + 0.5)/10000 AS max_score FROM blocks
+"""
+
+
+def q_route_counts(spark, sf_dir):
+    ship_package(spark)
+    turns, blocks = _vec_pipeline(spark, sf_dir)
+    routed = route_turns(turns, blocks)
+    return routed.groupBy("sink").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_ROUTE_COUNTS = f"""
+WITH {PIPE_SQL},
+routed AS (SELECT t.conv_id, t.turn_idx,
+                  CASE WHEN b.conv_id IS NOT NULL THEN 'anomalous' ELSE 'routine' END AS sink
+           FROM t LEFT JOIN blocks b
+             ON b.conv_id = t.conv_id AND t.turn_idx BETWEEN b.start_idx AND b.end_idx)
+SELECT sink, count(*) AS n FROM routed GROUP BY sink
+"""
+
+
+# ------------------------------------------------------------------ #
+# Parse: wildcard template extraction (first match wins)
+# ------------------------------------------------------------------ #
+PARSE_TEMPLATES = [
+    ("T_sortmerge", "sort [*] merge"),
+    ("T_joinagg", "join [*] agg"),
+    ("T_winscan", "window [*] scan"),
+    ("T_batchstream", "batch [*] stream"),
+]
+
+
+def q_parse_templates(spark, sf_dir):
+    ship_package(spark)
+    docs = _docs(spark, sf_dir)
+    parsed = extract_templates(docs, PARSE_TEMPLATES)
+    return (
+        parsed.select(F.coalesce("template_id", F.lit("NONE")).alias("template_id"))
+        .groupBy("template_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_PARSE_TEMPLATES = """
+WITH m AS (SELECT CASE
+    WHEN regexp_matches(text, 'sort .*? merge') THEN 'T_sortmerge'
+    WHEN regexp_matches(text, 'join .*? agg') THEN 'T_joinagg'
+    WHEN regexp_matches(text, 'window .*? scan') THEN 'T_winscan'
+    WHEN regexp_matches(text, 'batch .*? stream') THEN 'T_batchstream'
+    ELSE 'NONE' END AS template_id FROM documents)
+SELECT template_id, count(*) AS n FROM m GROUP BY template_id
+"""
+
+
+# ------------------------------------------------------------------ #
+# Enrich: broadcast dim join with missing-key defaults
+# ------------------------------------------------------------------ #
+EVENT_DIM = [
+    ("click", "ui", 1),
+    ("error", "ops", 3),
+    ("signup", "ui", 1),
+    ("purchase", "biz", 2),
+    # 'view' intentionally missing -> unknown/0
+]
+
+
+def q_enrich_events(spark, sf_dir):
+    ship_package(spark)
+    events = _events(spark, sf_dir)
+    dim = spark.createDataFrame(EVENT_DIM, "event_type string, category string, risk int")
+    joined = events.join(F.broadcast(dim), on="event_type", how="left")
+    return (
+        joined.select(
+            F.coalesce("category", F.lit("unknown")).alias("category"),
+            F.coalesce("risk", F.lit(0)).alias("risk"),
+            "value",
+        )
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("risk").cast("long").alias("risk_sum"),
+            r4(F.sum("value"), "value_sum"),
+        )
+    )
+
+
+SQL_ENRICH_EVENTS = """
+WITH dim(event_type, category, risk) AS
+  (VALUES ('click','ui',1), ('error','ops',3), ('signup','ui',1), ('purchase','biz',2)),
+j AS (SELECT coalesce(d.category, 'unknown') AS category, coalesce(d.risk, 0) AS risk, e.value
+      FROM events e LEFT JOIN dim d ON e.event_type = d.event_type)
+SELECT category, count(*) AS n, sum(risk)::BIGINT AS risk_sum,
+       floor(sum(value)*10000 + 0.5)/10000 AS value_sum
+FROM j GROUP BY category
+"""
+
+
+# ------------------------------------------------------------------ #
+# Dedup suite
+# ------------------------------------------------------------------ #
+def q_dedup_exact(spark, sf_dir):
+    ship_package(spark)
+    return D.exact_dedup(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("n_copies").cast("long").alias("n_copies")
+    )
+
+
+SQL_DEDUP_EXACT = (
+    "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text"
+)
+
+_TOKS_SQL = """
+tk AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+       FROM documents)
+"""
+
+_SHINGLES3_SQL = (
+    _TOKS_SQL
+    + """,
+sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+         THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                           i -> array_to_string(toks[i:i+2], ' ')))
+         ELSE [array_to_string(toks, ' ')] END AS sh FROM tk)
+"""
+)
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    ship_package(spark)
+    pairs = D.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=NGRAM_TAU)
+    return pairs.select("doc_a", "doc_b", r4(F.col("jaccard"), "jaccard"))
+
+
+SQL_DEDUP_NGRAM = f"""
+WITH {_SHINGLES3_SQL},
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.sh, b.sh))::DOUBLE
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, floor(j*10000 + 0.5)/10000 AS jaccard FROM p WHERE j >= {NGRAM_TAU}
+"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    ship_package(spark)
+    pairs = D.minhash_lsh_pairs(
+        _docs(spark, sf_dir), n=3, bands=8, rows=2, verify_threshold=MINHASH_TAU
+    )
+    return pairs.select("doc_a", "doc_b", r4(F.col("jaccard"), "jaccard"))
+
+
+SQL_DEDUP_MINHASH = f"""
+WITH {_SHINGLES3_SQL},
+hx AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || s1)) AS mh
+       FROM (SELECT doc_id, unnest(sh) AS s1 FROM sh), generate_series(0, 15) g(j)
+       GROUP BY doc_id, j),
+bands AS (SELECT doc_id, j // 2 AS band, string_agg(mh, '|' ORDER BY j) AS sig
+          FROM hx GROUP BY doc_id, j // 2),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+ver AS (SELECT c.doc_a, c.doc_b,
+               len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                 / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
+        FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b)
+SELECT doc_a, doc_b, floor(j*10000 + 0.5)/10000 AS jaccard FROM ver WHERE j >= {MINHASH_TAU}
+"""
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    ship_package(spark)
+    vecs = _normalized_vectors(spark, sf_dir)
+    pairs = D.embedding_cosine_pairs(vecs, threshold=COSINE_TAU)
+    return pairs.select("vec_a", "vec_b", r4(F.col("cosine"), "cosine"))
+
+
+SQL_DEDUP_COSINE = f"""
+WITH {NORM_EMB_SQL}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       floor(list_dot_product(a.v, b.v)*10000 + 0.5)/10000 AS cosine
+FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) >= {COSINE_TAU}
+"""
+
+
+# ------------------------------------------------------------------ #
+# Similarity search
+# ------------------------------------------------------------------ #
+def q_ann_topk(spark, sf_dir):
+    ship_package(spark)
+    vecs = _normalized_vectors(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < ANN_NQ)
+    topk = S.brute_force_topk(queries, vecs, k=ANN_K)
+    return topk.select(
+        "qid", F.col("rank").cast("long").alias("rank"), "nid", r4(F.col("dist"), "dist")
+    )
+
+
+SQL_ANN_TOPK = f"""
+WITH {NORM_EMB_SQL},
+q AS (SELECT vec_id AS qid, v AS qv FROM nv WHERE vec_id < {ANN_NQ}),
+d AS (SELECT q.qid, c.vec_id AS nid,
+             greatest(0.0, least(2.0, 1.0 - list_dot_product(q.qv, c.v))) AS dist
+      FROM q JOIN nv c ON c.vec_id <> q.qid),
+r AS (SELECT qid, nid, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank FROM d)
+SELECT qid, rank, nid, floor(dist*10000 + 0.5)/10000 AS dist FROM r WHERE rank <= {ANN_K}
+"""
+
+
+# ------------------------------------------------------------------ #
+# Text analysis
+# ------------------------------------------------------------------ #
+def q_token_count(spark, sf_dir):
+    ship_package(spark)
+    return TX.token_count_cols(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "n_alnum_tokens", "n_chars"
+    )
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id,
+       len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_alnum_tokens,
+       length(text) AS n_chars
+FROM documents
+"""
+
+_STOP_SQL = "['" + "','".join(TX.EN_STOPWORDS) + "']"
+
+
+def q_lang_id(spark, sf_dir):
+    ship_package(spark)
+    return TX.lang_id_cols(_docs(spark, sf_dir)).select(
+        "doc_id", "pred_lang", "en_hits_distinct"
+    )
+
+
+SQL_LANG_ID = f"""
+WITH {_TOKS_SQL},
+h AS (SELECT doc_id, len(list_intersect(toks, {_STOP_SQL}))::BIGINT AS en_hits_distinct,
+             len(toks) AS n FROM tk)
+SELECT doc_id,
+       CASE WHEN en_hits_distinct / greatest(n::DOUBLE, 1.0) >= 0.05 THEN 'en' ELSE 'other' END AS pred_lang,
+       en_hits_distinct
+FROM h
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    ship_package(spark)
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", r4(TX.quality_score_col(), "quality"))
+
+
+SQL_QUALITY_SCORE = f"""
+WITH {_TOKS_SQL},
+q AS (SELECT doc_id,
+        0.4 * least(1.0, len(toks) / 100.0)
+      + 0.3 * (len(list_distinct(toks)) / greatest(len(toks)::DOUBLE, 1.0))
+      + 0.3 * (len(list_intersect(list_distinct(toks), {_STOP_SQL})) / {float(len(TX.EN_STOPWORDS))}) AS quality
+      FROM tk)
+SELECT doc_id, floor(quality*10000 + 0.5)/10000 AS quality FROM q
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    ship_package(spark)
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", TX.fingerprint_col(n=5).alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINT = f"""
+WITH {_TOKS_SQL},
+sh AS (SELECT doc_id, CASE WHEN len(toks) >= 5
+         THEN list_transform(generate_series(1, len(toks) - 4),
+                             i -> array_to_string(toks[i:i+4], ' '))
+         ELSE [array_to_string(toks, ' ')] END AS shingles FROM tk)
+SELECT doc_id, min(md5(s1)) AS fingerprint
+FROM (SELECT doc_id, unnest(shingles) AS s1 FROM sh) GROUP BY doc_id
+"""
+
+
+# ------------------------------------------------------------------ #
+# Multimodal metadata (binary plumbing; decode stays stubbed)
+# ------------------------------------------------------------------ #
+def q_multimodal_meta(spark, sf_dir):
+    ship_package(spark)
+    from cordon_spark.operators.multimodal import binary_metadata
+
+    docs = _docs(spark, sf_dir).withColumn("payload", F.encode("text", "UTF-8"))
+    return binary_metadata(docs).select("doc_id", "n_bytes", "content_md5")
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5
+FROM documents
+"""
+
+
+# ------------------------------------------------------------------ #
+# Non-SQL-expressible extras (driver records rows-only checks)
+# ------------------------------------------------------------------ #
+def q_pipeline_text_blocks(spark, sf_dir):
+    """Full pipeline with the hash-embedding backend over derived
+    transcripts (text -> embed -> score); exact parity vs the numpy
+    oracle is covered in pytest, not SQL."""
+    ship_package(spark)
+    from cordon_spark.plans.pipeline import analyze_transcripts
+
+    t = derived_transcripts(spark, sf_dir)
+    res = analyze_transcripts(spark, t, AnalysisConfig())
+    return res.blocks.select(
+        "conv_id",
+        "start_idx",
+        "end_idx",
+        F.size("original_windows").cast("long").alias("n_windows"),
+        r4(F.col("max_score"), "max_score"),
+    )
+
+
+def q_ann_lsh(spark, sf_dir):
+    ship_package(spark)
+    vecs = _normalized_vectors(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < ANN_NQ)
+    out = S.lsh_ann(queries, vecs, k=ANN_K, n_planes=8, dim=64)
+    return out.select(
+        "qid", F.col("rank").cast("long").alias("rank"), "nid", r4(F.col("dist"), "dist")
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    ship_package(spark)
+    return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=16)
+
+
+QUERIES = {
+    "window_segment": q_window_segment,
+    "knn_score": q_knn_score,
+    "threshold_percentile": q_threshold_percentile,
+    "threshold_range": q_threshold_range,
+    "merge_blocks": q_merge_blocks,
+    "score_distribution": q_score_distribution,
+    "pipeline_blocks": q_pipeline_blocks,
+    "route_counts": q_route_counts,
+    "parse_templates": q_parse_templates,
+    "enrich_events": q_enrich_events,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "ann_topk": q_ann_topk,
+    "token_count": q_token_count,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+    "pipeline_text_blocks": q_pipeline_text_blocks,
+    "ann_lsh": q_ann_lsh,
+    "dedup_simhash": q_dedup_simhash,
+}
+
+ORACLE_SQL = {
+    "window_segment": SQL_WINDOW_SEGMENT,
+    "knn_score": SQL_KNN_SCORE,
+    "threshold_percentile": SQL_THRESHOLD_PERCENTILE,
+    "threshold_range": SQL_THRESHOLD_RANGE,
+    "merge_blocks": SQL_MERGE_BLOCKS,
+    "score_distribution": SQL_SCORE_DISTRIBUTION,
+    "pipeline_blocks": SQL_PIPELINE_BLOCKS,
+    "route_counts": SQL_ROUTE_COUNTS,
+    "parse_templates": SQL_PARSE_TEMPLATES,
+    "enrich_events": SQL_ENRICH_EVENTS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+    "dedup_embedding_cosine": SQL_DEDUP_COSINE,
+    "ann_topk": SQL_ANN_TOPK,
+    "token_count": SQL_TOKEN_COUNT,
+    "lang_id": SQL_LANG_ID,
+    "quality_score": SQL_QUALITY_SCORE,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "multimodal_meta": SQL_MULTIMODAL_META,
+    # pipeline_text_blocks / ann_lsh / dedup_simhash: rows-only (no SQL)
+}

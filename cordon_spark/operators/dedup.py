@@ -1,0 +1,233 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are JVM-side (built-in higher-order array functions, no
+Python) except SimHash, which is an Arrow pandas UDF over the shared
+kernel. Hashing uses md5 hex strings so every variant has a DuckDB-SQL
+oracle with the identical hash family (kernel.minhash_band_keys).
+
+Scale notes per variant:
+  exact        one hash aggregation on the text (or a digest of it)
+  ngram        exact pairwise Jaccard — O(n^2), oracle/test scale ONLY;
+               at 100 TB use minhash_lsh_pairs (candidates via band
+               buckets, verify only candidates)
+  minhash LSH  shuffle on (band, signature) — linear in corpus size;
+               the classic web-dedup plan
+  simhash      64-bit fingerprints, candidates via band equality
+  embedding    cosine near-dup: exact pairwise at test scale; at scale
+               bucket by LSH sign-planes first (similarity.lsh_ann)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    """Whitespace tokens, lowercased, empties dropped — matches
+    kernel.tokenize and the SQL `list_filter(string_split(lower(x),' '))`."""
+    return F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda x: x != "",
+    )
+
+
+def shingles_col(toks: Column, n: int) -> Column:
+    """Distinct n-gram shingles (space-joined); shorter docs collapse to
+    one whole-doc shingle (kernel.token_shingles semantics)."""
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(ngrams)).otherwise(
+        F.array(F.array_join(toks, " "))
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: one representative (min id) per distinct text.
+    At 100 TB group on md5(text) instead of the full text to keep
+    shuffle rows small; here the text itself is the key for parity."""
+    return docs.groupBy(text_col).agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies")
+    ).select(id_col, "n_copies")
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return inter / (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b)))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard near-dup pairs (a < b). O(n^2):
+    test-scale oracle for the LSH variant; one side broadcast."""
+    sh = docs.select(
+        F.col(id_col), shingles_col(tokens_col(text_col), n).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col(f"a.{id_col}") < F.col(f"b.{id_col}"), "inner"
+    ).select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+        _jaccard(F.col("a.sh"), F.col("b.sh")).alias("jaccard"),
+    )
+    return pairs.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    bands: int = 8,
+    rows: int = 2,
+    verify_threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs: shingle -> minhash signature ->
+    band buckets -> candidate pairs -> Jaccard verification.
+
+    Hash family: h_j(s) = md5(f"{j}|{s}"), signature = lexicographic MIN
+    hex string (kernel.minhash_band_keys) — md5 exists on both engines so
+    the DuckDB oracle reproduces it exactly. Scale: everything before
+    verification is linear; candidates shuffle on (band, signature)."""
+    spark = docs.sparkSession
+    sh = docs.select(
+        F.col(id_col), shingles_col(tokens_col(text_col), n).alias("sh")
+    )
+    exploded = sh.select(id_col, F.explode("sh").alias("s1"))
+    hash_fns = spark.range(bands * rows).withColumnRenamed("id", "j")
+    minhashes = (
+        exploded.crossJoin(F.broadcast(hash_fns))
+        .select(
+            id_col,
+            "j",
+            F.md5(F.concat(F.col("j").cast("string"), F.lit("|"), F.col("s1"))).alias("h"),
+        )
+        .groupBy(id_col, "j")
+        .agg(F.min("h").alias("mh"))
+    )
+    band_sigs = (
+        minhashes.withColumn("band", (F.col("j") / rows).cast("long"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "mh"))), lambda s: s["mh"]
+                ),
+                "|",
+            ).alias("sig")
+        )
+    )
+    a, b = band_sigs.alias("a"), band_sigs.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+    )
+    return verified.filter(F.col("jaccard") >= verify_threshold)
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit fingerprint (kernel.simhash64 via
+    Arrow UDF), candidates via 16-bit band equality (any fingerprint pair
+    within hamming distance <= 3 shares a band; wider distances may miss
+    — standard SimHash recall trade), verified by exact hamming."""
+
+    @F.pandas_udf(T.LongType())
+    def simhash_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from cordon_spark import kernel
+
+        for s in batches:
+            yield s.fillna("").map(
+                lambda t: kernel.simhash64(kernel.tokenize(t)) - (1 << 63)
+            ).astype("int64")
+
+    fp = docs.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("fp"))
+    banded = fp.select(
+        id_col,
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("fp", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "fp", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cands.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def embedding_cosine_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Embedding near-dup: pairs with cosine similarity >= threshold.
+    JVM-side dot product via zip_with + aggregate (vectors pre-normalized).
+    Exact O(n^2) — at scale pre-bucket with similarity.lsh_ann planes."""
+    a, b = vectors.alias("a"), vectors.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col(f"a.{id_col}") < F.col(f"b.{id_col}"), "inner"
+    ).select(
+        F.col(f"a.{id_col}").alias("vec_a"),
+        F.col(f"b.{id_col}").alias("vec_b"),
+        dot.alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

@@ -1,0 +1,112 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs each __spark_entry__.queries() entry on Spark and its
+oracle_sql() on DuckDB over the same sf dir, comparing row count,
+column names, and an order-insensitive value hash (rows sorted, columns
+sorted by name, floats rendered via repr of float64). Prints one line
+per query + a summary; exit 1 on any mismatch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def value_hash(rows: list[tuple], cols: list[str]) -> str:
+    order = np.argsort(cols, kind="stable")
+    norm_rows = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    vals.append("nan")
+                else:
+                    vals.append(repr(round(v, 9)))
+            elif v is None:
+                vals.append("∅")
+            else:
+                vals.append(str(v))
+        norm_rows.append("|".join(vals))
+    norm_rows.sort()
+    return hashlib.md5("\n".join(norm_rows).encode()).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+
+    import __spark_entry__ as E
+    from cordon_spark.session import get_spark
+
+    spark = get_spark("check_entry", master="local[8]", shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    queries = E.queries()
+    oracles = E.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            cols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:
+            print(f"FAIL  {name:28s} spark error: {exc}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"rows  {name:28s} n={len(srows):6d} (no oracle) {time.time()-t0:5.1f}s")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as exc:
+            print(f"FAIL  {name:28s} duckdb error: {exc}")
+            failures.append(name)
+            continue
+        problems = []
+        if sorted(cols) != sorted(ocols):
+            problems.append(f"schema {sorted(cols)} vs {sorted(ocols)}")
+        if len(srows) != len(orows):
+            problems.append(f"rows {len(srows)} vs {len(orows)}")
+        if not problems:
+            h1, h2 = value_hash(srows, cols), value_hash(orows, ocols)
+            if h1 != h2:
+                problems.append("value-hash mismatch")
+        if problems:
+            print(f"FAIL  {name:28s} {'; '.join(problems)}")
+            failures.append(name)
+        else:
+            print(f"ok    {name:28s} n={len(srows):6d} {time.time()-t0:5.1f}s")
+
+    print(f"\n{len(queries) - len(failures)}/{len(queries)} ok; failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
