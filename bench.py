@@ -1,0 +1,119 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line
+{"metric", "value", "unit": "sec", "queries": {...}, "sf": ...}.
+
+Headline: the end-to-end parse + score + route pipeline (the
+BASELINE.json metric, turns/sec) over a synthetic transcripts table
+sized to the scale factor (sf0.1 -> 2M turns), using the centroid-sketch
+scorer — the 10^12-scale path (exact k-NN is O(n^2) by design and is
+benchmarked separately on the embeddings table where n is small).
+
+Extra keys beyond the driver contract: turns_per_sec, n_turns,
+parallelism — used by scripts/scaling_bench.py for the N-vs-4N
+scaling-efficiency evidence in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+ROOT = pathlib.Path(__file__).resolve().parent
+if str(ROOT) not in sys.path:
+    sys.path.insert(0, str(ROOT))
+
+BENCH_CACHE = "/tmp/cordon_bench"
+
+
+def _sf_of(sf_dir: str) -> float:
+    name = pathlib.Path(sf_dir).name
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _transcripts_path(n_turns: int, seed: int = 42) -> str:
+    os.makedirs(BENCH_CACHE, exist_ok=True)
+    path = f"{BENCH_CACHE}/transcripts_{n_turns}_{seed}.parquet"
+    if not os.path.exists(path):
+        from cordon_spark.datagen import generate_transcripts_fast, write_parquet
+
+        write_parquet(generate_transcripts_fast(n_turns, seed=seed), path)
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+    n_turns = max(int(20_000_000 * sf), 20_000)
+
+    from cordon_spark import entry_queries as Q
+    from cordon_spark.config import AnalysisConfig
+    from cordon_spark.datagen import TEMPLATES
+    from cordon_spark.plans.pipeline import analyze_transcripts
+    from cordon_spark.session import get_spark
+
+    spark = get_spark(
+        "cordon_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+        arrow_batch=20_000,
+    )
+    tpath = _transcripts_path(n_turns)
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # ---- headline: parse + window + embed + centroid-score + route ----
+    transcripts = spark.read.parquet(tpath)
+    t0 = time.perf_counter()
+    cfg = AnalysisConfig(scorer="centroid", anomaly_percentile=0.02)
+    res = analyze_transcripts(spark, transcripts, cfg, templates=TEMPLATES)
+    n_routed = res.counts["anomalous"] + res.counts["routine"]
+    elapsed = time.perf_counter() - t0
+    timings["pipeline_centroid"] = elapsed
+    extras["turns_per_sec"] = n_routed / elapsed if elapsed else 0.0
+    extras["n_turns"] = float(n_routed)
+    res.unpersist()
+
+    # ---- exact k-NN pipeline at oracle scale (windows are few) --------
+    t0 = time.perf_counter()
+    Q.q_pipeline_blocks(spark, sf_dir).collect()
+    timings["pipeline_knn_vec"] = time.perf_counter() - t0
+
+    # ---- component headliners over the driver tables ------------------
+    for name in (
+        "knn_score",
+        "window_segment",
+        "dedup_minhash_lsh",
+        "ann_topk",
+        "token_count",
+        "enrich_events",
+    ):
+        t0 = time.perf_counter()
+        Q.QUERIES[name](spark, sf_dir).collect()
+        timings[name] = time.perf_counter() - t0
+
+    total = sum(timings.values())
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {k: round(v, 3) for k, v in timings.items()},
+                "sf": sf,
+                "parallelism": cpus,
+                "turns_per_sec": round(extras["turns_per_sec"], 1),
+                "n_turns": int(extras["n_turns"]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -155,6 +155,53 @@ def write_fixture(path: str, scale: str = "tiny", seed: int = 42) -> pd.DataFram
     return pdf
 
 
+def generate_transcripts_fast(
+    n_turns: int,
+    seed: int = 42,
+    turns_per_conv: int = 1000,
+    anomaly_frac: float = 0.002,
+) -> pd.DataFrame:
+    """Vectorized bench-scale generator (numpy, no per-row loop): same
+    schema/content recipe as generate_transcripts — templated turns with
+    a seeded minority of unique anomaly turns — at millions of rows/sec."""
+    rng = np.random.RandomState(seed)
+    conv_num = np.arange(n_turns) // turns_per_conv
+    turn_idx = (np.arange(n_turns) % turns_per_conv).astype("int32")
+    conv_id = np.char.add("conv_", conv_num.astype("U10"))
+    roles = np.array(ROLES)[rng.randint(0, len(ROLES), n_turns)]
+    tools = np.array([t or "" for t in TOOLS])[rng.randint(0, len(TOOLS), n_turns)]
+
+    tidx = rng.randint(0, len(TEMPLATES), n_turns)
+    params = rng.randint(0, 10_000, n_turns).astype("U6")
+    # one-hole variants of the templates: pre + param + post
+    pres, posts = [], []
+    for _, tpl in TEMPLATES:
+        head, _, tail = tpl.partition("[*]")
+        pres.append(head)
+        posts.append(tail.replace("[*]", "7"))
+    text = np.char.add(
+        np.char.add(np.array(pres)[tidx], params), np.array(posts)[tidx]
+    )
+    n_anom = int(n_turns * anomaly_frac)
+    if n_anom:
+        pos = rng.choice(n_turns, n_anom, replace=False)
+        text[pos] = np.array(ANOMALY_TEXTS)[rng.randint(0, len(ANOMALY_TEXTS), n_anom)]
+
+    epoch = np.datetime64("2026-01-01T00:00:00")
+    ts = epoch + (conv_num * 100_000 + turn_idx * 7).astype("timedelta64[s]")
+    pdf = pd.DataFrame(
+        {
+            "conv_id": conv_id,
+            "turn_idx": turn_idx,
+            "role": roles,
+            "text": text,
+            "tool": pd.Series(tools).replace("", None),
+            "ts": ts.astype("datetime64[us]"),
+        }
+    )
+    return pdf
+
+
 def write_parquet(pdf: pd.DataFrame, path: str) -> None:
     """Parquet writer Spark can read: pandas 2.x defaults to TIMESTAMP
     (NANOS) which Spark's reader rejects — coerce to microseconds."""

@@ -84,29 +84,61 @@ def score_windows_knn(
 
 def template_centroids(
     windows: DataFrame, signature_col: str = "signature"
-) -> DataFrame:
-    """Per-signature centroid of L2-normalized embeddings, JVM-side:
-    posexplode -> avg per (signature, dim) -> re-assemble ordered array ->
-    normalize. One shuffle over a tiny key space; result is broadcast
-    state."""
-    exploded = windows.select(
-        signature_col, F.posexplode("embedding").alias("dim", "val")
+) -> dict:
+    """Per-signature centroids via MAP-SIDE PARTIAL AGGREGATION: each
+    partition reduces its windows to (signature, count, sum-vector) rows
+    inside one mapInPandas pass — numpy sums, no exploded shuffle — and
+    the tiny partials (n_partitions x n_signatures rows) merge on the
+    driver. At 10^12 turns this is the only aggregation shape that
+    works: the shuffle payload is O(signatures x dim) per partition,
+    independent of row count."""
+    schema = T.StructType(
+        [
+            T.StructField("signature", T.StringType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("vsum", T.ArrayType(T.DoubleType())),
+        ]
     )
-    per_dim = exploded.groupBy(signature_col, "dim").agg(F.avg("val").alias("val"))
-    assembled = per_dim.groupBy(signature_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "val"))), lambda s: s["val"]
-        ).alias("centroid")
+
+    def partials(batches):
+        sums: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for sig, grp in pdf.groupby(signature_col, sort=True):
+                mat = np.array(grp["embedding"].tolist(), dtype=np.float64)
+                total = mat.sum(axis=0)
+                if sig in sums:
+                    cnt, acc = sums[sig]
+                    sums[sig] = (cnt + len(grp), acc + total)
+                else:
+                    sums[sig] = (len(grp), total)
+        yield pd.DataFrame(
+            {
+                "signature": list(sums.keys()),
+                "cnt": [c for c, _ in sums.values()],
+                "vsum": [list(v) for _, v in sums.values()],
+            }
+        )
+
+    partial_pdf = (
+        windows.select(F.col(signature_col).alias("signature"), "embedding")
+        .mapInPandas(partials, schema)
+        .toPandas()
     )
-    norm = F.sqrt(
-        F.aggregate("centroid", F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    return assembled.withColumn(
-        "centroid",
-        F.when(norm > 0.0, F.transform("centroid", lambda x: x / norm)).otherwise(
-            F.col("centroid")
-        ),
-    )
+    merged: dict = {}
+    for _, row in partial_pdf.iterrows():
+        vec = np.asarray(row["vsum"], dtype=np.float64)
+        if row["signature"] in merged:
+            cnt, acc = merged[row["signature"]]
+            merged[row["signature"]] = (cnt + row["cnt"], acc + vec)
+        else:
+            merged[row["signature"]] = (row["cnt"], vec)
+    out = {}
+    for sig, (cnt, acc) in merged.items():
+        nrm = float(np.linalg.norm(acc))
+        out[sig] = acc / nrm if nrm > 0 else acc
+    return out
 
 
 def score_windows_centroid(
@@ -119,11 +151,7 @@ def score_windows_centroid(
     in broadcast state; unseen signatures fall back to the global
     centroid. O(n); no O(n^2) anywhere; broadcast is
     O(templates * dim)."""
-    cen_pdf = template_centroids(windows, signature_col).toPandas()
-    cmap = {
-        row[signature_col]: np.asarray(row["centroid"], dtype=np.float64)
-        for _, row in cen_pdf.iterrows()
-    }
+    cmap = template_centroids(windows, signature_col)
     if cmap:
         global_cen = np.mean(np.stack(list(cmap.values())), axis=0)
         nrm = float(np.linalg.norm(global_cen))

@@ -41,15 +41,23 @@ def with_stripped_text(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def segment_windows(
-    transcripts: DataFrame, cfg: AnalysisConfig, text_col: str = "text"
+    transcripts: DataFrame,
+    cfg: AnalysisConfig,
+    text_col: str = "text",
+    template_col: str | None = None,
 ) -> DataFrame:
     """transcripts(conv_id, turn_idx, text, ...) ->
-    windows(conv_id, window_id, start_idx, end_idx, n_turns, content).
+    windows(conv_id, window_id, start_idx, end_idx, n_turns, content
+    [, signature]).
 
     Requires turn_idx 0-based contiguous per conversation (input_hint /
     FIXTURES.md §1); then `turn_idx // window_size` reproduces the
     reference's consecutive-buffer windows (windower.py:32-50) without a
     row_number sort.
+
+    When template_col is given, the window's template SIGNATURE (ordered
+    join of member template ids — the centroid-sketch key) is aggregated
+    in the SAME groupBy, so the centroid path costs no extra shuffle.
     """
     df = with_stripped_text(transcripts, text_col)
     df = df.withColumn(
@@ -58,14 +66,21 @@ def segment_windows(
     if cfg.salt_buckets > 0:
         df = df.repartition(cfg.salt_buckets, "conv_id", "window_id")
     ordered = F.array_sort(F.collect_list(F.struct("turn_idx", "text_stripped")))
-    return (
-        df.groupBy("conv_id", "window_id")
-        .agg(
-            F.min("turn_idx").alias("start_idx"),
-            F.max("turn_idx").alias("end_idx"),
-            F.count(F.lit(1)).alias("n_turns"),
-            F.array_join(
-                F.transform(ordered, lambda s: s["text_stripped"]), "\n"
-            ).alias("content"),
+    aggs = [
+        F.min("turn_idx").alias("start_idx"),
+        F.max("turn_idx").alias("end_idx"),
+        F.count(F.lit(1)).alias("n_turns"),
+        F.array_join(F.transform(ordered, lambda s: s["text_stripped"]), "\n").alias(
+            "content"
+        ),
+    ]
+    if template_col is not None:
+        ordered_t = F.array_sort(
+            F.collect_list(
+                F.struct("turn_idx", F.coalesce(template_col, F.lit("?")).alias("t"))
+            )
         )
-    )
+        aggs.append(
+            F.array_join(F.transform(ordered_t, lambda s: s["t"]), ",").alias("signature")
+        )
+    return df.groupBy("conv_id", "window_id").agg(*aggs)

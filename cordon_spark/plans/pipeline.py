@@ -44,6 +44,14 @@ class PipelineResult:
     stats: dict = field(default_factory=dict)
     metrics: dict = field(default_factory=dict)
     counts: dict = field(default_factory=dict)
+    caches: list = field(default_factory=list)
+
+    def unpersist(self) -> None:
+        for df in self.caches:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
 
 
 def _checkpoint(
@@ -85,6 +93,7 @@ def analyze_transcripts(
 ) -> PipelineResult:
     cfg = cfg or AnalysisConfig()
     metrics = M.StageMetrics()
+    caches: list[DataFrame] = []
 
     # ---- parse (template extraction; feeds centroid signatures) ------
     turns = transcripts
@@ -96,15 +105,19 @@ def analyze_transcripts(
 
     # ---- window + embed + score (one composed plan, checkpointed) ----
     def build_scored() -> DataFrame:
-        windows = segment_windows(turns, cfg)
-        if cfg.scorer == "centroid":
-            sig_src = turns.withColumn(
-                "window_id", (F.col("turn_idx") / F.lit(cfg.window_size)).cast("long")
-            )
-            sigs = P.window_signature(sig_src, by=("conv_id", "window_id"))
-            windows = windows.join(sigs, on=["conv_id", "window_id"], how="left")
+        use_templates = cfg.scorer == "centroid" and bool(templates)
+        windows = segment_windows(
+            turns, cfg, template_col="template_id" if use_templates else None
+        )
+        if cfg.scorer == "centroid" and not use_templates:
+            # no parse stage -> one global centroid
+            windows = windows.withColumn("signature", F.lit("?"))
         embed = create_embedder(cfg)
-        embedded = embed(windows, "content")
+        # persist: the embedding UDF output feeds two passes (broadcast
+        # state build + scoring) and several downstream actions — without
+        # this the whole window+embed plan re-executes per action
+        embedded = embed(windows, "content").persist()
+        caches.append(embedded)
         if cfg.scorer == "centroid":
             return score_windows_centroid(spark, embedded, cfg)
         return score_windows_knn(spark, embedded, cfg)
@@ -115,6 +128,7 @@ def analyze_transcripts(
     )
     if catalog is None:
         scored = scored.persist()
+        caches.append(scored)
     metrics.stop("score")
 
     # ---- threshold ----------------------------------------------------
@@ -164,6 +178,7 @@ def analyze_transcripts(
     metrics.stop("stats")
 
     return PipelineResult(
+        caches=caches,
         scored_windows=scored,
         significant=significant,
         blocks=blocks,
