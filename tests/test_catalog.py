@@ -1,0 +1,83 @@
+"""Snapshot catalog: atomic commit, time travel, idempotent resume
+(the analog of the reference benchmark's --resume,
+benchmark/evaluate.py:898-965)."""
+
+import pandas as pd
+import pytest
+
+from cordon_spark.config import AnalysisConfig
+from cordon_spark.plans.pipeline import analyze_transcripts
+from cordon_spark.sources.catalog import SnapshotCatalog
+
+
+def test_write_read_roundtrip(spark, tmp_path):
+    cat = SnapshotCatalog(tmp_path / "wh")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    m = cat.write_snapshot(df, "t1", "s1")
+    assert m["rows"] == 2
+    assert cat.current_snapshot("t1") == "s1"
+    got = cat.read(spark, "t1").orderBy("id").collect()
+    assert [(r.id, r.v) for r in got] == [(1, "a"), (2, "b")]
+
+
+def test_snapshot_isolation_and_time_travel(spark, tmp_path):
+    cat = SnapshotCatalog(tmp_path / "wh")
+    cat.write_snapshot(spark.createDataFrame([(1,)], "id long"), "t", "s1")
+    cat.write_snapshot(spark.createDataFrame([(2,), (3,)], "id long"), "t", "s2")
+    assert cat.current_snapshot("t") == "s2"
+    assert cat.read(spark, "t").count() == 2
+    assert cat.read(spark, "t", "s1").count() == 1  # time travel
+    assert cat.snapshots("t") == ["s1", "s2"]
+
+
+def test_missing_table_raises(spark, tmp_path):
+    cat = SnapshotCatalog(tmp_path / "wh")
+    with pytest.raises(FileNotFoundError):
+        cat.read(spark, "nope")
+
+
+def test_pipeline_resume_idempotent(spark, tiny_transcripts, tmp_path):
+    pdf, _ = tiny_transcripts
+    df = spark.createDataFrame(pdf)
+    cfg = AnalysisConfig()
+    cat = SnapshotCatalog(tmp_path / "wh")
+
+    res1 = analyze_transcripts(spark, df, cfg, catalog=cat, run_id="r1", resume=True)
+    blocks1 = sorted(
+        (r.conv_id, r.start_idx, r.end_idx, round(r.max_score, 6))
+        for r in res1.blocks.collect()
+    )
+    counts1 = dict(res1.counts)
+
+    # resume: all stages must be read back, not recomputed
+    res2 = analyze_transcripts(spark, df, cfg, catalog=cat, run_id="r1", resume=True)
+    blocks2 = sorted(
+        (r.conv_id, r.start_idx, r.end_idx, round(r.max_score, 6))
+        for r in res2.blocks.collect()
+    )
+    assert blocks1 == blocks2
+    assert counts1 == res2.counts
+    assert res2.metrics["score"].get("resumed") == 1.0
+    assert res2.metrics["merge"].get("resumed") == 1.0
+    # sink snapshots committed exactly once
+    assert cat.snapshots("anomalous_turns") == ["r1-anomalous_turns"]
+
+    # kill-and-rerun: drop a downstream stage, upstream stays cached
+    cat.drop_snapshot("blocks", "r1-blocks")
+    res3 = analyze_transcripts(spark, df, cfg, catalog=cat, run_id="r1", resume=True)
+    blocks3 = sorted(
+        (r.conv_id, r.start_idx, r.end_idx, round(r.max_score, 6))
+        for r in res3.blocks.collect()
+    )
+    assert blocks3 == blocks1
+    assert res3.metrics["score"].get("resumed") == 1.0  # upstream reused
+
+
+def test_lineage_recorded(spark, tiny_transcripts, tmp_path):
+    pdf, _ = tiny_transcripts
+    df = spark.createDataFrame(pdf)
+    cat = SnapshotCatalog(tmp_path / "wh")
+    analyze_transcripts(spark, df, AnalysisConfig(), catalog=cat, run_id="r9")
+    man = cat.manifest("scored_windows", "r9-scored_windows")
+    parts = man["lineage"]["partitions"]
+    assert parts and sum(p["rows"] for p in parts) == man["rows"]

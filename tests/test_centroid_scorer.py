@@ -1,0 +1,57 @@
+"""Centroid-sketch scorer (the 10^12-scale path, SURVEY.md §7.5):
+anomalies still surface, broadcast state is tiny, scores are
+partition-invariant (within float tolerance of the partial-sum order)."""
+
+import numpy as np
+
+from cordon_spark.config import AnalysisConfig
+from cordon_spark.datagen import TEMPLATES, generate_transcripts
+from cordon_spark.plans.pipeline import analyze_transcripts
+
+
+def test_centroid_pipeline_finds_planted_anomalies(spark):
+    pdf, truth = generate_transcripts(
+        n_convs=4, mean_turns=60, seed=11, anomaly_conv_frac=0.9, with_edge_cases=False
+    )
+    df = spark.createDataFrame(pdf)
+    cfg = AnalysisConfig(scorer="centroid", anomaly_percentile=0.1)
+    res = analyze_transcripts(spark, df, cfg, templates=TEMPLATES)
+    blocks = res.blocks.toPandas()
+    assert len(blocks) > 0
+    hits = 0
+    total = 0
+    for conv, spans in truth.anomalies.items():
+        for s, e in spans:
+            total += 1
+            found = blocks[
+                (blocks.conv_id == conv) & (blocks.start_idx <= e) & (blocks.end_idx >= s)
+            ]
+            hits += 1 if len(found) else 0
+    assert hits == total
+    res.unpersist()
+
+
+def test_centroid_scores_partition_invariant(spark):
+    pdf, _ = generate_transcripts(n_convs=4, mean_turns=40, seed=5, with_edge_cases=False)
+    cfg = AnalysisConfig(scorer="centroid")
+    outs = []
+    for n in (2, 16):
+        df = spark.createDataFrame(pdf).repartition(n)
+        res = analyze_transcripts(spark, df, cfg, templates=TEMPLATES)
+        got = (
+            res.scored_windows.orderBy("conv_id", "window_id")
+            .select("score")
+            .toPandas()["score"]
+            .to_numpy()
+        )
+        outs.append(got)
+        res.unpersist()
+    assert np.allclose(outs[0], outs[1], atol=1e-9)
+
+
+def test_centroid_without_templates_uses_global(spark, tiny_df):
+    cfg = AnalysisConfig(scorer="centroid")
+    res = analyze_transcripts(spark, tiny_df, cfg)  # no templates
+    assert res.scored_windows.count() > 0
+    assert (res.scored_windows.selectExpr("min(score)").first()[0] or 0.0) >= 0.0
+    res.unpersist()

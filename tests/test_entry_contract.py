@@ -1,0 +1,66 @@
+"""Mirror of the external driver gate: every queries() entry vs its
+oracle_sql() through DuckDB at sf0.001 (row count + columns + sorted
+value comparison). Heavier than unit tests but the single highest-value
+regression guard in the repo."""
+
+import math
+import pathlib
+import sys
+
+import duckdb
+import pytest
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+import __spark_entry__ as E  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def _norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                vals.append("nan" if math.isnan(v) else repr(round(v, 9)))
+            else:
+                vals.append("∅" if v is None else str(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("name", sorted(E.oracle_sql().keys()))
+def test_query_matches_oracle(spark, con, name):
+    sdf = E.queries()[name](spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = con.execute(E.oracle_sql()[name])
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+    assert sorted(sdf.columns) == sorted(ocols), "column names must match"
+    assert len(srows) == len(orows), "row counts must match"
+    assert _norm(srows, sdf.columns) == _norm(orows, ocols)
+
+
+def test_rows_only_queries_run(spark):
+    for name in set(E.queries()) - set(E.oracle_sql()):
+        df = E.queries()[name](spark, SF_DIR)
+        assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert "max_score" in df.columns

@@ -1,0 +1,51 @@
+"""Similarity search: brute-force exactness vs numpy; LSH recall."""
+
+import numpy as np
+import pandas as pd
+
+from cordon_spark import kernel
+from cordon_spark.operators import similarity as S
+
+
+def _vec_df(spark, n=80, dim=16, seed=0):
+    rng = np.random.RandomState(seed)
+    mat = kernel.l2_normalize(rng.randn(n, dim))
+    pdf = pd.DataFrame({"vec_id": range(n), "v": [list(r) for r in mat]})
+    return spark.createDataFrame(pdf), mat
+
+
+def test_brute_force_matches_numpy(spark):
+    df, mat = _vec_df(spark)
+    got = S.brute_force_topk(df.filter("vec_id < 5"), df, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append((r.rank, r.nid, r.dist))
+    for q in range(5):
+        dists = np.clip(1.0 - mat @ mat[q], 0.0, 2.0)
+        order = sorted((d, i) for i, d in enumerate(dists) if i != q)[:3]
+        rows = sorted(by_q[q])
+        for (rank, nid, dist), (ed, ei) in zip(rows, order):
+            assert nid == ei
+            assert abs(dist - ed) < 1e-9
+
+
+def test_lsh_recall_vs_brute_force(spark):
+    df, _ = _vec_df(spark, n=200, dim=16, seed=1)
+    queries = df.filter("vec_id < 20")
+    exact = {
+        (r.qid, r.nid) for r in S.brute_force_topk(queries, df, k=5).collect()
+    }
+    approx = {
+        (r.qid, r.nid)
+        for r in S.lsh_ann(queries, df, k=5, n_planes=4, dim=16).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3  # 4 planes / 16 buckets: sanity floor, not a tuning claim
+    # every approx neighbor must share the query's bucket -> subset check
+    assert approx  # produces results at all
+
+
+def test_normalize_zero_vector_passthrough(spark):
+    df = spark.createDataFrame(pd.DataFrame({"vec_id": [0], "v": [[0.0, 0.0]]}))
+    got = S.normalize(df, "v").first()
+    assert list(got.v) == [0.0, 0.0]

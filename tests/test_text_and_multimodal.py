@@ -1,0 +1,90 @@
+"""Text-analysis functions and multimodal binary plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cordon_spark.functions import text as TX
+from cordon_spark.operators import multimodal as MM
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox and the lazy dog of the farm"),
+        (1, "wort wort unbekannt zzz qqq xxx yyy www vvv"),
+        (2, ""),
+        (3, "a a a a a"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_token_counts(spark, docs):
+    got = {r.doc_id: r for r in TX.token_count_cols(docs).collect()}
+    assert got[0].n_tokens == 11
+    assert got[2].n_tokens == 0
+    assert got[3].n_tokens == 5
+    assert got[0].n_alnum_tokens == 11
+    assert got[0].n_chars == len("the quick brown fox and the lazy dog of the farm")
+
+
+def test_lang_id(spark, docs):
+    got = {r.doc_id: r.pred_lang for r in TX.lang_id_cols(docs).collect()}
+    assert got[0] == "en"
+    assert got[1] == "other"
+    assert got[2] == "other"
+
+
+def test_quality_score_bounds(spark, docs):
+    got = {r.doc_id: r.q for r in docs.select("doc_id", TX.quality_score_col().alias("q")).collect()}
+    assert all(0.0 <= v <= 1.0 for v in got.values())
+    assert got[0] > got[3]  # diverse natural text beats "a a a a a"
+    assert got[2] == pytest.approx(0.0)
+
+
+def test_fingerprint_stable_and_discriminative(spark, docs):
+    fp = {r.doc_id: r.f for r in docs.select("doc_id", TX.fingerprint_col(n=5).alias("f")).collect()}
+    dup = spark.createDataFrame(
+        pd.DataFrame([(9, "the quick brown fox and the lazy dog of the farm")], columns=["doc_id", "text"])
+    )
+    fp9 = dup.select(TX.fingerprint_col(n=5).alias("f")).first().f
+    assert fp9 == fp[0]  # identical text -> identical fingerprint
+    assert fp[0] != fp[1]
+
+
+def test_multimodal_metadata_and_features(spark):
+    pdf = pd.DataFrame(
+        {
+            "media_id": pd.Series([1, 2], dtype="int64"),
+            "kind": ["image", "audio"],
+            "payload": [b"\x89PNG-fake-bytes", b"RIFF-fake-audio"],
+            "mime": ["image/png", "audio/wav"],
+        }
+    )
+    media = spark.createDataFrame(pdf)
+    meta = {r.media_id: r for r in MM.binary_metadata(media).collect()}
+    assert meta[1].n_bytes == len(b"\x89PNG-fake-bytes")
+
+    feats = {r.media_id: r for r in MM.extract_features(media, MM.fake_decoder).collect()}
+    assert len(feats[1].features) == 8
+    # deterministic fake decode: same payload -> same features
+    again = {r.media_id: r for r in MM.extract_features(media, MM.fake_decoder).collect()}
+    assert list(feats[2].features) == list(again[2].features)
+    import hashlib
+
+    assert feats[1].content_md5 == hashlib.md5(b"\x89PNG-fake-bytes").hexdigest()
+
+
+def test_multimodal_decode_stub_raises(spark):
+    pdf = pd.DataFrame(
+        {
+            "media_id": pd.Series([1], dtype="int64"),
+            "kind": ["video"],
+            "payload": [b"x"],
+            "mime": ["video/mp4"],
+        }
+    )
+    media = spark.createDataFrame(pdf)
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        MM.extract_features(media, None).collect()
