@@ -1,0 +1,124 @@
+"""OP-12: CLI mirroring the reference's argparse surface (cli.py:10-141)
+for spark-submit deployment.
+
+    spark-submit --py-files .build/cordon_spark.zip -m  # or:
+    python -m cordon_spark.cli INPUT [INPUT...] [flags]
+
+INPUT is a transcripts parquet path or a raw .log/.txt file (routed
+through the OP-1 text source). Range mode overrides percentile with a
+warning (reference cli.py:250-259); multi-file loop (cli.py:304-306);
+--output writes rendered blocks (cli.py:192-206)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from cordon_spark.config import AnalysisConfig
+from cordon_spark.datagen import TEMPLATES
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="cordon-spark", description="semantic transcript/log anomaly reduction"
+    )
+    p.add_argument("inputs", nargs="+", help="transcripts parquet or raw log file(s)")
+    p.add_argument("--window-size", type=int, default=4)
+    p.add_argument("--k-neighbors", type=int, default=5)
+    p.add_argument("--anomaly-percentile", type=float, default=0.1)
+    p.add_argument(
+        "--anomaly-range", nargs=2, type=float, metavar=("MIN", "MAX"), default=None
+    )
+    p.add_argument("--backend", default="hash",
+                   choices=["hash", "sentence-transformers", "remote"])
+    p.add_argument("--model-name", default="hash-64")
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--scorer", default="knn", choices=["knn", "centroid"])
+    p.add_argument("--master", default=None)
+    p.add_argument("--warehouse", default=None, help="snapshot catalog root (enables resume)")
+    p.add_argument("--run-id", default="cli")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--output", default=None, help="write rendered blocks here")
+    p.add_argument("--json", action="store_true", help="print stats as JSON")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.anomaly_range is not None and args.anomaly_percentile != 0.1:
+        print(
+            "warning: --anomaly-range overrides --anomaly-percentile",
+            file=sys.stderr,
+        )
+    try:
+        cfg = AnalysisConfig(
+            window_size=args.window_size,
+            k_neighbors=args.k_neighbors,
+            anomaly_percentile=args.anomaly_percentile,
+            anomaly_range_min=args.anomaly_range[0] if args.anomaly_range else None,
+            anomaly_range_max=args.anomaly_range[1] if args.anomaly_range else None,
+            backend=args.backend,
+            model_name=args.model_name,
+            batch_size=args.batch_size,
+            scorer=args.scorer,
+        )
+    except ValueError as exc:  # eager validation, reference cli.py:262-283
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
+
+    from cordon_spark.plans.pipeline import analyze_transcripts
+    from cordon_spark.operators.routing import render_blocks
+    from cordon_spark.session import get_spark
+    from cordon_spark.sources.catalog import SnapshotCatalog
+    from cordon_spark.sources.textfile import log_lines_as_transcript
+
+    spark = get_spark("cordon_spark_cli", master=args.master)
+    catalog = SnapshotCatalog(args.warehouse) if args.warehouse else None
+
+    rc = 0
+    for path in args.inputs:
+        t0 = time.time()
+        if path.endswith((".log", ".txt")):
+            transcripts = log_lines_as_transcript(spark, path)
+        else:
+            transcripts = spark.read.parquet(path)
+        res = analyze_transcripts(
+            spark,
+            transcripts,
+            cfg,
+            templates=TEMPLATES if cfg.scorer == "centroid" else None,
+            catalog=catalog,
+            run_id=f"{args.run_id}-{abs(hash(path)) % 10**8}",
+            resume=args.resume,
+        )
+        rendered = render_blocks(transcripts, res.blocks)
+        parts = [
+            r.block_text
+            for r in rendered.orderBy("conv_id", "start_idx").collect()
+        ]
+        out_text = "\n\n".join(parts)
+        if args.output:
+            with open(args.output, "w", encoding="utf-8") as fh:
+                fh.write(out_text)
+        else:
+            print(out_text)
+        summary = dict(res.stats, seconds=round(time.time() - t0, 2), input=path)
+        if args.json:
+            print(json.dumps(summary), file=sys.stderr)
+        else:
+            print(
+                f"{path}: {summary['total_windows']} windows, "
+                f"{summary['significant_windows']} significant, "
+                f"{summary['merged_blocks']} blocks, "
+                f"{res.counts['anomalous']} anomalous turns "
+                f"({summary['seconds']}s)",
+                file=sys.stderr,
+            )
+        res.unpersist()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -126,23 +126,79 @@ def knn_scores(
     return top[:, 1:].mean(axis=1)
 
 
+def centroid_scores_loo(
+    queries: np.ndarray,
+    signatures: list,
+    sum_map: dict,
+    count_map: dict,
+    global_sum: np.ndarray,
+    global_count: int,
+) -> np.ndarray:
+    """Scale-path scorer with LEAVE-ONE-OUT centroids.
+
+    score(x) = clamp(1 - dot(x, normalize(sum[sig(x)] - x)), 0, 2)
+
+    Subtracting the window's own vector mirrors the k-NN scorer's
+    self-exclusion (scorer.py:216): without it, a window that is the
+    SOLE member of its signature is identical to its centroid and scores
+    0 — exactly backwards for rare anomalies. Singleton signatures fall
+    back to the global leave-one-out centroid. Broadcast state stays
+    O(signatures x dim)."""
+    nq = queries.shape[0]
+    if nq == 0:
+        return np.zeros(0, dtype=np.float64)
+    queries = np.asarray(queries, dtype=np.float64)
+    if global_count <= 1:
+        return np.zeros(nq, dtype=np.float64)
+    sig_index: dict = {}
+    idx = np.empty(nq, dtype=np.int64)
+    sums: list = []
+    cnts: list = []
+    zero = np.zeros(queries.shape[1], dtype=np.float64)
+    for i, sig in enumerate(signatures):
+        j = sig_index.get(sig)
+        if j is None:
+            j = len(sums)
+            sig_index[sig] = j
+            sums.append(sum_map.get(sig, zero))
+            cnts.append(count_map.get(sig, 0))
+        idx[i] = j
+    sum_arr = np.asarray(np.stack(sums), dtype=np.float64)[idx]
+    cnt_arr = np.asarray(cnts, dtype=np.int64)[idx]
+    loo = sum_arr - queries
+    use_global = cnt_arr <= 1
+    if use_global.any():
+        loo[use_global] = global_sum[None, :] - queries[use_global]
+    norms = np.sqrt(np.einsum("ij,ij->i", loo, loo))
+    norms[norms == 0.0] = 1.0
+    dots = np.einsum("ij,ij->i", queries, loo) / norms
+    return np.clip(1.0 - dots, 0.0, 2.0)
+
+
 def centroid_scores(
     queries: np.ndarray, signatures: list, centroid_map: dict, default: np.ndarray
 ) -> np.ndarray:
-    """Scale-path scorer: cosine distance to own-signature centroid.
-
-    The 10^12-turn substitute for exact O(n^2) k-NN (see SURVEY.md §7.5):
-    per-template centroid sketches held in broadcast state; score =
-    clamp(1 - dot(embedding, centroid[sig]), 0, 2).
-    """
+    """Frozen-state scorer (streaming path): cosine distance to a
+    PRE-BUILT normalized centroid per signature (no self-exclusion —
+    the state comes from a separate batch run, so the query row is not
+    inside its own centroid)."""
     nq = queries.shape[0]
-    out = np.zeros(nq, dtype=np.float64)
-    for i in range(nq):
-        cen = centroid_map.get(signatures[i])
-        if cen is None:
-            cen = default
-        out[i] = min(max(1.0 - float(np.dot(queries[i], cen)), 0.0), 2.0)
-    return out
+    if nq == 0:
+        return np.zeros(0, dtype=np.float64)
+    queries = np.asarray(queries, dtype=np.float64)
+    sig_index: dict = {}
+    idx = np.empty(nq, dtype=np.int64)
+    mats: list = []
+    for i, sig in enumerate(signatures):
+        j = sig_index.get(sig)
+        if j is None:
+            j = len(mats)
+            sig_index[sig] = j
+            mats.append(centroid_map.get(sig, default))
+        idx[i] = j
+    cen = np.asarray(np.stack(mats), dtype=np.float64)
+    dots = np.einsum("ij,ij->i", queries, cen[idx])
+    return np.clip(1.0 - dots, 0.0, 2.0)
 
 
 def exact_percentile(values: np.ndarray, pct: float) -> float:

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, Observation, functions as F
 
 
 def score_distribution(scored: DataFrame, score_col: str = "score") -> dict:
+    """One pass: count + min/max/mean + exact median/p90 (OP-10)."""
     row = scored.select(
         F.count(F.lit(1)).alias("n"),
         F.min(score_col).alias("min"),
@@ -27,8 +28,10 @@ def score_distribution(scored: DataFrame, score_col: str = "score") -> dict:
         F.expr(f"percentile({score_col}, 0.90)").alias("p90"),
     ).first()
     if row["n"] == 0:
-        return {"min": 0.0, "max": 0.0, "mean": 0.0, "median": 0.0, "p90": 0.0}
-    return {k: float(row[k]) for k in ("min", "max", "mean", "median", "p90")}
+        return {"min": 0.0, "max": 0.0, "mean": 0.0, "median": 0.0, "p90": 0.0, "n": 0}
+    out = {k: float(row[k]) for k in ("min", "max", "mean", "median", "p90")}
+    out["n"] = int(row["n"])
+    return out
 
 
 def observed(df: DataFrame, name: str) -> tuple[DataFrame, Observation]:

@@ -84,8 +84,10 @@ def score_windows_knn(
 
 def template_centroids(
     windows: DataFrame, signature_col: str = "signature"
-) -> dict:
-    """Per-signature centroids via MAP-SIDE PARTIAL AGGREGATION: each
+) -> tuple[dict, dict]:
+    """(sum_map, count_map) of per-signature embedding SUMS via
+    MAP-SIDE PARTIAL AGGREGATION (sums rather than normalized centroids
+    so the scorer can do leave-one-out subtraction): each
     partition reduces its windows to (signature, count, sum-vector) rows
     inside one mapInPandas pass — numpy sums, no exploded shuffle — and
     the tiny partials (n_partitions x n_signatures rows) merge on the
@@ -102,43 +104,55 @@ def template_centroids(
 
     def partials(batches):
         sums: dict = {}
+        counts: dict = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            for sig, grp in pdf.groupby(signature_col, sort=True):
-                mat = np.array(grp["embedding"].tolist(), dtype=np.float64)
-                total = mat.sum(axis=0)
+            codes, uniques = pd.factorize(pdf[signature_col], sort=False)
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            acc = np.zeros((len(uniques), mat.shape[1]), dtype=np.float64)
+            np.add.at(acc, codes, mat)
+            cnt = np.bincount(codes, minlength=len(uniques))
+            for i, sig in enumerate(uniques):
                 if sig in sums:
-                    cnt, acc = sums[sig]
-                    sums[sig] = (cnt + len(grp), acc + total)
+                    sums[sig] = sums[sig] + acc[i]
+                    counts[sig] += int(cnt[i])
                 else:
-                    sums[sig] = (len(grp), total)
+                    sums[sig] = acc[i]
+                    counts[sig] = int(cnt[i])
         yield pd.DataFrame(
             {
                 "signature": list(sums.keys()),
-                "cnt": [c for c, _ in sums.values()],
-                "vsum": [list(v) for _, v in sums.values()],
+                "cnt": [counts[s] for s in sums],
+                "vsum": [list(v) for v in sums.values()],
             }
         )
 
-    partial_pdf = (
-        windows.select(F.col(signature_col).alias("signature"), "embedding")
-        .mapInPandas(partials, schema)
-        .toPandas()
+    partial = windows.select(
+        F.col(signature_col).alias("signature"), "embedding"
+    ).mapInPandas(partials, schema)
+    # second-level merge stays in Spark: one groupBy over the tiny
+    # (signatures x partitions) partials, element-wise sum via a JVM
+    # zip_with fold — the driver only ever sees O(signatures) rows.
+    merged_df = partial.groupBy("signature").agg(
+        F.sum("cnt").alias("cnt"),
+        F.aggregate(
+            F.collect_list("vsum"),
+            F.expr("array_repeat(0.0d, 0)"),
+            lambda acc, v: F.when(F.size(acc) == 0, v).otherwise(
+                F.zip_with(acc, v, lambda a, b: a + b)
+            ),
+        ).alias("vsum"),
     )
-    merged: dict = {}
-    for _, row in partial_pdf.iterrows():
-        vec = np.asarray(row["vsum"], dtype=np.float64)
-        if row["signature"] in merged:
-            cnt, acc = merged[row["signature"]]
-            merged[row["signature"]] = (cnt + row["cnt"], acc + vec)
-        else:
-            merged[row["signature"]] = (row["cnt"], vec)
-    out = {}
-    for sig, (cnt, acc) in merged.items():
-        nrm = float(np.linalg.norm(acc))
-        out[sig] = acc / nrm if nrm > 0 else acc
-    return out
+    pdf = merged_df.toPandas()
+    if len(pdf) == 0:
+        return {}, {}
+    mat = np.array(pdf["vsum"].tolist(), dtype=np.float64)
+    sigs = pdf["signature"].tolist()
+    cnts = pdf["cnt"].tolist()
+    sum_map = {sig: mat[i] for i, sig in enumerate(sigs)}
+    count_map = {sig: int(cnts[i]) for i, sig in enumerate(sigs)}
+    return sum_map, count_map
 
 
 def score_windows_centroid(
@@ -147,31 +161,33 @@ def score_windows_centroid(
     cfg: AnalysisConfig,
     signature_col: str = "signature",
 ) -> DataFrame:
-    """Scale-path scorer: cosine distance to own-signature centroid held
-    in broadcast state; unseen signatures fall back to the global
-    centroid. O(n); no O(n^2) anywhere; broadcast is
-    O(templates * dim)."""
-    cmap = template_centroids(windows, signature_col)
-    if cmap:
-        global_cen = np.mean(np.stack(list(cmap.values())), axis=0)
-        nrm = float(np.linalg.norm(global_cen))
-        if nrm > 0:
-            global_cen = global_cen / nrm
+    """Scale-path scorer: LEAVE-ONE-OUT cosine distance to the
+    own-signature centroid held in broadcast state (singleton/unseen
+    signatures fall back to the global LOO centroid) — see
+    kernel.centroid_scores_loo for why self-exclusion is load-bearing.
+    O(n); no O(n^2) anywhere; broadcast is O(templates * dim)."""
+    sum_map, count_map = template_centroids(windows, signature_col)
+    if sum_map:
+        global_sum = np.sum(np.stack(list(sum_map.values())), axis=0)
+        global_count = int(sum(count_map.values()))
     else:
-        global_cen = np.zeros(cfg.embedding_dim, dtype=np.float64)
-    bc = spark.sparkContext.broadcast((cmap, global_cen))
+        global_sum = np.zeros(cfg.embedding_dim, dtype=np.float64)
+        global_count = 0
+    bc = spark.sparkContext.broadcast((sum_map, count_map, global_sum, global_count))
     schema = T.StructType(windows.schema.fields + [_SCORE_FIELD])
 
     def score_partition(batches):
         from cordon_spark import kernel
 
-        cmap_w, default = bc.value
+        sums, counts, gsum, gcount = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 yield pdf.assign(score=pd.Series(dtype="float64"))
                 continue
             queries = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             sigs = pdf[signature_col].tolist()
-            yield pdf.assign(score=kernel.centroid_scores(queries, sigs, cmap_w, default))
+            yield pdf.assign(
+                score=kernel.centroid_scores_loo(queries, sigs, sums, counts, gsum, gcount)
+            )
 
     return windows.mapInPandas(score_partition, schema)

@@ -115,12 +115,17 @@ def analyze_transcripts(
         embed = create_embedder(cfg)
         # persist: the embedding UDF output feeds two passes (broadcast
         # state build + scoring) and several downstream actions — without
-        # this the whole window+embed plan re-executes per action
-        embedded = embed(windows, "content").persist()
+        # this the whole window+embed plan re-executes per action.
+        # content is projected away once embedded (column pruning keeps
+        # the cache at ids + bounds + vector).
+        embedded = embed(windows, "content").drop("content").persist()
         caches.append(embedded)
         if cfg.scorer == "centroid":
-            return score_windows_centroid(spark, embedded, cfg)
-        return score_windows_knn(spark, embedded, cfg)
+            scored_df = score_windows_centroid(spark, embedded, cfg)
+        else:
+            scored_df = score_windows_knn(spark, embedded, cfg)
+        # downstream (threshold/merge/route/stats) needs ids+bounds+score
+        return scored_df.drop("embedding")
 
     metrics.start("score")
     scored, _ = _checkpoint(
@@ -172,7 +177,7 @@ def analyze_transcripts(
     # ---- stats (OP-10) ---------------------------------------------------
     metrics.start("stats")
     stats = M.score_distribution(scored)
-    stats["total_windows"] = scored.count()
+    stats["total_windows"] = stats.pop("n")
     stats["significant_windows"] = significant.count()
     stats["merged_blocks"] = blocks.count()
     metrics.stop("stats")

@@ -48,6 +48,26 @@ def ship_package(spark: SparkSession) -> None:
         pass
 
 
+_BLAS_VARS = (
+    "OMP_NUM_THREADS",
+    "OPENBLAS_NUM_THREADS",
+    "MKL_NUM_THREADS",
+    "NUMEXPR_NUM_THREADS",
+    "VECLIB_MAXIMUM_THREADS",
+)
+
+
+def pin_blas_threads() -> None:
+    """One BLAS thread per python worker. Spark already parallelizes
+    across workers; letting every worker spawn a full OpenBLAS pool
+    oversubscribes cores catastrophically (measured: local[32] SLOWER
+    than local[8] on the k-NN matmul before this pin). Must run before
+    the JVM (and its python workers) launch so the env is inherited.
+    The reference pins the same for its CI (.github/workflows/ci.yml:56)."""
+    for var in _BLAS_VARS:
+        os.environ.setdefault(var, "1")
+
+
 def get_spark(
     app_name: str = "cordon_spark",
     master: str | None = None,
@@ -56,6 +76,7 @@ def get_spark(
     arrow_batch: int = 10_000,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    pin_blas_threads()
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
@@ -76,6 +97,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )
+    for var in _BLAS_VARS:  # belt-and-braces for non-local deployments
+        builder = builder.config(f"spark.executorEnv.{var}", "1")
     for key, val in (extra_conf or {}).items():
         builder = builder.config(key, val)
     spark = builder.getOrCreate()

@@ -57,8 +57,8 @@ def test_pipeline_resume_idempotent(spark, tiny_transcripts, tmp_path):
     )
     assert blocks1 == blocks2
     assert counts1 == res2.counts
-    assert res2.metrics["score"].get("resumed") == 1.0
-    assert res2.metrics["merge"].get("resumed") == 1.0
+    assert res2.metrics["scored_windows"].get("resumed") == 1.0
+    assert res2.metrics["blocks"].get("resumed") == 1.0
     # sink snapshots committed exactly once
     assert cat.snapshots("anomalous_turns") == ["r1-anomalous_turns"]
 
@@ -70,7 +70,7 @@ def test_pipeline_resume_idempotent(spark, tiny_transcripts, tmp_path):
         for r in res3.blocks.collect()
     )
     assert blocks3 == blocks1
-    assert res3.metrics["score"].get("resumed") == 1.0  # upstream reused
+    assert res3.metrics["scored_windows"].get("resumed") == 1.0  # upstream reused
 
 
 def test_lineage_recorded(spark, tiny_transcripts, tmp_path):

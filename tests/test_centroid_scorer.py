@@ -9,10 +9,39 @@ from cordon_spark.datagen import TEMPLATES, generate_transcripts
 from cordon_spark.plans.pipeline import analyze_transcripts
 
 
+def _structured_corpus():
+    """Centroid-scorer regime: conversations with REPEATED template
+    structure (template = turn_idx % n, like real service logs), so
+    window signatures have high support; anomaly bursts both break the
+    signature and sit far from every centroid. Random-template corpora
+    make every 4-gram signature a singleton — that regime belongs to the
+    exact k-NN scorer, not the sketch."""
+    import numpy as np
+    import pandas as pd
+
+    from cordon_spark.datagen import ANOMALY_TEXTS, _template_text
+
+    rng = np.random.RandomState(17)
+    rows = []
+    truth = {}
+    for c in range(8):
+        conv = f"conv_{c:03d}"
+        anom_at = 20 + 4 * c if c % 2 == 0 else None
+        if anom_at is not None:
+            truth[conv] = [(anom_at, anom_at + 2)]
+        for t in range(80):
+            if anom_at is not None and anom_at <= t <= anom_at + 2:
+                text = ANOMALY_TEXTS[(c + t) % len(ANOMALY_TEXTS)]
+            else:
+                text = _template_text(rng, t % len(TEMPLATES))
+            rows.append((conv, t, text))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    return pdf, truth
+
+
 def test_centroid_pipeline_finds_planted_anomalies(spark):
-    pdf, truth = generate_transcripts(
-        n_convs=4, mean_turns=60, seed=11, anomaly_conv_frac=0.9, with_edge_cases=False
-    )
+    pdf, truth = _structured_corpus()
     df = spark.createDataFrame(pdf)
     cfg = AnalysisConfig(scorer="centroid", anomaly_percentile=0.1)
     res = analyze_transcripts(spark, df, cfg, templates=TEMPLATES)
@@ -20,7 +49,7 @@ def test_centroid_pipeline_finds_planted_anomalies(spark):
     assert len(blocks) > 0
     hits = 0
     total = 0
-    for conv, spans in truth.anomalies.items():
+    for conv, spans in truth.items():
         for s, e in spans:
             total += 1
             found = blocks[

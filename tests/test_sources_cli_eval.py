@@ -1,0 +1,127 @@
+"""OP-1 text source, OP-12 CLI, OP-13 eval metrics, streaming router."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cordon_spark.sources.textfile import log_lines_as_transcript, read_log_lines
+
+
+def test_read_log_lines_one_indexed_raw(spark, tmp_path):
+    p = tmp_path / "x.log"
+    p.write_text("alpha  \nbeta\n\ngamma\n")
+    got = read_log_lines(spark, str(p)).orderBy("line_no").collect()
+    assert [(r.line_no, r.text) for r in got] == [
+        (1, "alpha  "),  # raw text preserved (rstrip happens at window time)
+        (2, "beta"),
+        (3, ""),
+        (4, "gamma"),
+    ]
+
+
+def test_log_file_through_pipeline(spark, tmp_path):
+    from cordon_spark.config import AnalysisConfig
+    from cordon_spark.plans.pipeline import analyze_transcripts
+
+    lines = ["normal line alpha beta"] * 20 + [
+        "FATAL segfault core dumped",
+        "unhandled panic queue overflow",
+        "disk quota exceeded rollback",
+    ] + ["normal line alpha beta"] * 20
+    p = tmp_path / "app.log"
+    p.write_text("\n".join(lines) + "\n")
+    t = log_lines_as_transcript(spark, str(p))
+    res = analyze_transcripts(spark, t, AnalysisConfig(window_size=4, anomaly_percentile=0.1))
+    blocks = res.blocks.collect()
+    assert blocks, "anomaly burst must be flagged"
+    # burst lives at turn_idx 20..22
+    assert any(b.start_idx <= 22 and b.end_idx >= 20 for b in blocks)
+    res.unpersist()
+
+
+def test_cli_end_to_end(spark, tmp_path, capsys):
+    # reuse the test session (same JVM); CLI's get_spark returns it
+    from cordon_spark.cli import main
+
+    lines = ["repeat this exact line"] * 30 + ["TOTALLY UNIQUE CRASH xyzzy"] + [
+        "repeat this exact line"
+    ] * 30
+    p = tmp_path / "in.log"
+    p.write_text("\n".join(lines) + "\n")
+    out = tmp_path / "blocks.txt"
+    rc = main([str(p), "--output", str(out), "--anomaly-percentile", "0.1", "--json"])
+    assert rc == 0
+    text = out.read_text()
+    assert "<block lines=" in text and "</block>" in text
+
+
+def test_cli_invalid_config(tmp_path):
+    from cordon_spark.cli import main
+
+    assert main([str(tmp_path / "nope.log"), "--window-size", "0"]) == 2
+
+
+def test_eval_metrics(spark):
+    from cordon_spark.plans.evaluate import template_metrics, turn_level_metrics
+
+    turns = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "conv_id": ["c"] * 10,
+                "turn_idx": pd.Series(range(10), dtype="int32"),
+                "is_anomaly": [False] * 4 + [True, True] + [False] * 4,
+                "template_id": ["T1", "T1", "T2", "T2", None, None, "T1", "T3", "T3", "T1"],
+            }
+        )
+    )
+    blocks = spark.createDataFrame(
+        pd.DataFrame({"conv_id": ["c"], "start_idx": [4], "end_idx": [6]})
+    )
+    m = turn_level_metrics(turns, blocks)
+    assert m["tp"] == 2 and m["fp"] == 1 and m["fn"] == 0
+    assert m["recall"] == 1.0 and 0 < m["precision"] < 1
+    tm = template_metrics(turns, blocks, rare_threshold=3)
+    # flagged turns 4,5,6 -> templates {T1}; T2/T3 unflagged
+    assert tm["n_templates"] == 3
+    assert tm["template_coverage"] == pytest.approx(1 / 3)
+    assert 0 < tm["weighted_recall"] < 1
+
+
+def test_streaming_route_memory_sink(spark, tmp_path):
+    from cordon_spark.config import AnalysisConfig
+    from cordon_spark.datagen import generate_transcripts, write_parquet
+    from cordon_spark.streaming.route import route_stream, score_turns_streaming
+
+    pdf, _ = generate_transcripts(n_convs=3, mean_turns=20, seed=9, with_edge_cases=False)
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    write_parquet(pdf, str(src / "part0.parquet"))
+
+    cfg = AnalysisConfig(scorer="centroid")
+    centroids = {"?": np.ones(cfg.embedding_dim) / np.sqrt(cfg.embedding_dim)}
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    scored = score_turns_streaming(
+        stream.withColumn("template_id", F.lit(None).cast("string")),
+        centroids,
+        centroids["?"],
+        cfg,
+    )
+    routed = route_stream(scored, threshold=0.5)
+    q = (
+        routed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("routed_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT sink, count(*) AS n FROM routed_stream GROUP BY sink"
+        ).collect()
+    finally:
+        q.stop()
+    counts = {r.sink: r.n for r in got}
+    assert sum(counts.values()) == len(pdf)
+    assert set(counts) <= {"anomalous", "routine"}
