@@ -202,11 +202,19 @@ def generate_transcripts_fast(
     return pdf
 
 
-def write_parquet(pdf: pd.DataFrame, path: str) -> None:
+def write_parquet(pdf: pd.DataFrame, path: str, row_group_size: int | None = None) -> None:
     """Parquet writer Spark can read: pandas 2.x defaults to TIMESTAMP
-    (NANOS) which Spark's reader rejects — coerce to microseconds."""
+    (NANOS) which Spark's reader rejects — coerce to microseconds.
+
+    row_group_size matters for parallelism: Spark splits scans on
+    row-group boundaries, so a big fixture written as pyarrow's default
+    1M-row groups caps the scan+map side at file_rows/1M tasks (measured:
+    a 2M-row bench table ran its whole map side on 2 cores)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     table = pa.Table.from_pandas(pdf, preserve_index=False)
-    pq.write_table(table, path, coerce_timestamps="us", allow_truncated_timestamps=True)
+    kwargs = {"coerce_timestamps": "us", "allow_truncated_timestamps": True}
+    if row_group_size:
+        kwargs["row_group_size"] = row_group_size
+    pq.write_table(table, path, **kwargs)

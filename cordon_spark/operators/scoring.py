@@ -94,11 +94,16 @@ def template_centroids(
     driver. At 10^12 turns this is the only aggregation shape that
     works: the shuffle payload is O(signatures x dim) per partition,
     independent of row count."""
+    # ONE output row per partition: (sigs, cnts, flat sum-matrix). The
+    # earlier per-(partition, signature)-row spelling boxed sigs x 64
+    # python floats per partition (measured: 299MB shuffle + 200s of
+    # pure boxing CPU at 2M windows); flat numpy arrays make the
+    # partial O(1) rows and the merge a vectorized np.add.at.
     schema = T.StructType(
         [
-            T.StructField("signature", T.StringType()),
-            T.StructField("cnt", T.LongType()),
-            T.StructField("vsum", T.ArrayType(T.DoubleType())),
+            T.StructField("sigs", T.ArrayType(T.StringType())),
+            T.StructField("cnts", T.ArrayType(T.LongType())),
+            T.StructField("flat", T.ArrayType(T.DoubleType())),
         ]
     )
 
@@ -120,38 +125,46 @@ def template_centroids(
                 else:
                     sums[sig] = acc[i]
                     counts[sig] = int(cnt[i])
+        if not sums:
+            yield pd.DataFrame({"sigs": [], "cnts": [], "flat": []})
+            return
+        mat = np.stack(list(sums.values()))
         yield pd.DataFrame(
             {
-                "signature": list(sums.keys()),
-                "cnt": [counts[s] for s in sums],
-                "vsum": [list(v) for v in sums.values()],
+                "sigs": [list(sums.keys())],
+                "cnts": [list(counts.values())],
+                "flat": [mat.ravel()],
             }
         )
 
-    partial = windows.select(
-        F.col(signature_col).alias("signature"), "embedding"
-    ).mapInPandas(partials, schema)
-    # second-level merge stays in Spark: one groupBy over the tiny
-    # (signatures x partitions) partials, element-wise sum via a JVM
-    # zip_with fold — the driver only ever sees O(signatures) rows.
-    merged_df = partial.groupBy("signature").agg(
-        F.sum("cnt").alias("cnt"),
-        F.aggregate(
-            F.collect_list("vsum"),
-            F.expr("array_repeat(0.0d, 0)"),
-            lambda acc, v: F.when(F.size(acc) == 0, v).otherwise(
-                F.zip_with(acc, v, lambda a, b: a + b)
-            ),
-        ).alias("vsum"),
+    partial_pdf = (
+        windows.select(F.col(signature_col).alias("signature"), "embedding")
+        .mapInPandas(partials, schema)
+        .toPandas()
     )
-    pdf = merged_df.toPandas()
-    if len(pdf) == 0:
+    # driver-side merge: O(partitions) rows, vectorized. At 1000-executor
+    # scale swap toPandas for a treeAggregate-style two-level reduce; the
+    # payload per partition is only O(signatures x dim).
+    all_sigs: list = []
+    all_cnts: list = []
+    mats: list = []
+    for _, row in partial_pdf.iterrows():
+        sigs = list(row["sigs"])
+        if not sigs:
+            continue
+        flat = np.asarray(row["flat"], dtype=np.float64)
+        mats.append(flat.reshape(len(sigs), -1))
+        all_sigs.extend(sigs)
+        all_cnts.extend(row["cnts"])
+    if not mats:
         return {}, {}
-    mat = np.array(pdf["vsum"].tolist(), dtype=np.float64)
-    sigs = pdf["signature"].tolist()
-    cnts = pdf["cnt"].tolist()
-    sum_map = {sig: mat[i] for i, sig in enumerate(sigs)}
-    count_map = {sig: int(cnts[i]) for i, sig in enumerate(sigs)}
+    stacked = np.vstack(mats)
+    codes, uniques = pd.factorize(pd.Series(all_sigs), sort=False)
+    sums = np.zeros((len(uniques), stacked.shape[1]), dtype=np.float64)
+    np.add.at(sums, codes, stacked)
+    cnts = np.bincount(codes, weights=np.asarray(all_cnts, dtype=np.float64))
+    sum_map = {sig: sums[i] for i, sig in enumerate(uniques)}
+    count_map = {sig: int(cnts[i]) for i, sig in enumerate(uniques)}
     return sum_map, count_map
 
 

@@ -23,8 +23,11 @@ from pyspark.sql import DataFrame, functions as F
 
 from cordon_spark.config import AnalysisConfig
 
-# above this many rows, bracket with approx before the exact pass
-EXACT_PERCENTILE_DIRECT_LIMIT = 50_000_000
+# above this many rows, bracket with approx before the exact pass —
+# Spark's exact percentile merges a per-value count map on one reducer,
+# which costs seconds by 2M distinct doubles; the bracketed path is
+# exact (test_threshold_scale) and stays cheap at any n
+EXACT_PERCENTILE_DIRECT_LIMIT = 500_000
 
 
 def exact_percentiles(
@@ -67,33 +70,43 @@ def _bracketed_percentiles(df: DataFrame, col: str, qs: list[float], n_rows: int
     margin = 3.0 / accuracy  # > guaranteed rank error, with slack
     lo_qs = [max(q - margin, 0.0) for q in qs]
     hi_qs = [min(q + margin, 1.0) for q in qs]
+    # job 1: approx brackets for every quantile at once
     bounds = df.select(
         F.percentile_approx(col, lo_qs + hi_qs, accuracy).alias("b")
     ).first()["b"]
+    a_los = [float(bounds[i]) for i in range(len(qs))]
+    a_his = [float(bounds[i + len(qs)]) for i in range(len(qs))]
+    # job 2: exact global rank offsets for ALL brackets in one aggregate
+    below_row = df.select(
+        *[
+            F.sum(F.when(F.col(col) < F.lit(a_lo), 1).otherwise(0)).alias(f"b{i}")
+            for i, a_lo in enumerate(a_los)
+        ]
+    ).first()
+    # job 3: one collect of the UNION of all (tiny) bracketed bands
+    band_pred = None
+    for a_lo, a_hi in zip(a_los, a_his):
+        pred = (F.col(col) >= F.lit(a_lo)) & (F.col(col) <= F.lit(a_hi))
+        band_pred = pred if band_pred is None else (band_pred | pred)
+    band = sorted(
+        float(r[0]) for r in df.filter(band_pred).select(col).collect()
+    )
     out = []
     for i, q in enumerate(qs):
-        a_lo, a_hi = float(bounds[i]), float(bounds[i + len(qs)])
         rank = (n_rows - 1) * q
         lo_idx, hi_idx = int(rank), min(int(rank) + 1, n_rows - 1)
-        n_below = df.filter(F.col(col) < a_lo).count()
-        band = [
-            float(r[0])
-            for r in df.filter(
-                (F.col(col) >= a_lo) & (F.col(col) <= a_hi)
-            )
-            .select(col)
-            .orderBy(col)
-            .collect()
-        ]
+        n_below = int(below_row[f"b{i}"] or 0)
+        # this quantile's slice of the collected union band
+        sub = [v for v in band if a_los[i] <= v <= a_his[i]]
         pos_lo, pos_hi = lo_idx - n_below, hi_idx - n_below
-        if not band or pos_lo < 0 or pos_hi >= len(band):
+        if not sub or pos_lo < 0 or pos_hi >= len(sub):
             # bracket missed (shouldn't happen) — fall back to direct exact
             out.append(
                 float(df.select(F.expr(f"percentile({col}, {q!r})")).first()[0])
             )
             continue
         frac = rank - lo_idx
-        out.append(band[pos_lo] + (band[pos_hi] - band[pos_lo]) * frac)
+        out.append(sub[pos_lo] + (sub[pos_hi] - sub[pos_lo]) * frac)
     return out
 
 
@@ -112,6 +125,43 @@ def compute_thresholds(
         scored, score_col, [(1.0 - cfg.anomaly_percentile) * 100.0]
     )
     return thr, None
+
+
+def thresholds_and_stats(
+    scored: DataFrame, cfg: AnalysisConfig, score_col: str = "score"
+) -> tuple[float | None, float | None, dict]:
+    """Threshold(s) + the OP-10 score distribution in ONE percentile
+    pass (median, p90 and the threshold quantiles share the scan) plus
+    one cheap count/min/max/avg aggregate."""
+    row = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(score_col).alias("min"),
+        F.max(score_col).alias("max"),
+        F.avg(score_col).alias("mean"),
+    ).first()
+    n = row["n"]
+    if n == 0:
+        return None, None, {"min": 0.0, "max": 0.0, "mean": 0.0, "median": 0.0, "p90": 0.0, "n": 0}
+    pcts = [50.0, 90.0]
+    if not (cfg.keep_all or cfg.keep_none):
+        if cfg.range_mode:
+            pcts += [(1.0 - cfg.anomaly_range_max) * 100.0, (1.0 - cfg.anomaly_range_min) * 100.0]
+        else:
+            pcts += [(1.0 - cfg.anomaly_percentile) * 100.0]
+    vals = exact_percentiles(scored, score_col, pcts, n_rows=n)
+    stats = {
+        "min": float(row["min"]),
+        "max": float(row["max"]),
+        "mean": float(row["mean"]),
+        "median": vals[0],
+        "p90": vals[1],
+        "n": int(n),
+    }
+    if cfg.keep_all or cfg.keep_none:
+        return None, None, stats
+    if cfg.range_mode:
+        return vals[2], vals[3], stats
+    return vals[2], None, stats
 
 
 def select_significant(

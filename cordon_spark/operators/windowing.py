@@ -75,12 +75,13 @@ def segment_windows(
         ),
     ]
     if template_col is not None:
-        ordered_t = F.array_sort(
-            F.collect_list(
-                F.struct("turn_idx", F.coalesce(template_col, F.lit("?")).alias("t"))
-            )
-        )
+        # MULTISET signature (sorted template ids, not the sequence):
+        # same behavior class for centroid purposes, and it shrinks the
+        # sketch-key space ~15x (C(T+W-1,W) vs T^W) — the broadcast
+        # state and partial-aggregation payload scale with it
         aggs.append(
-            F.array_join(F.transform(ordered_t, lambda s: s["t"]), ",").alias("signature")
+            F.array_join(
+                F.array_sort(F.collect_list(F.coalesce(template_col, F.lit("?")))), ","
+            ).alias("signature")
         )
     return df.groupBy("conv_id", "window_id").agg(*aggs)

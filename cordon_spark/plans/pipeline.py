@@ -28,8 +28,8 @@ from cordon_spark.operators import metrics as M
 from cordon_spark.operators import parse as P
 from cordon_spark.operators.merge import merge_blocks
 from cordon_spark.operators.routing import route_turns, sink_counts, split_sinks
+from cordon_spark.operators import threshold as TH
 from cordon_spark.operators.scoring import score_windows_centroid, score_windows_knn
-from cordon_spark.operators.threshold import select_significant
 from cordon_spark.operators.windowing import segment_windows
 
 
@@ -136,9 +136,19 @@ def analyze_transcripts(
         caches.append(scored)
     metrics.stop("score")
 
-    # ---- threshold ----------------------------------------------------
+    # ---- threshold + score distribution (one percentile pass) --------
     metrics.start("threshold")
-    significant, lower, upper = select_significant(scored, cfg)
+    lower, upper, dist_stats = TH.thresholds_and_stats(scored, cfg)
+    if cfg.keep_none:
+        significant = scored.filter(F.lit(False))
+    elif cfg.keep_all:
+        significant = scored
+    elif cfg.range_mode:
+        significant = scored.filter(
+            (F.col("score") >= F.lit(lower)) & (F.col("score") < F.lit(upper))
+        )
+    else:
+        significant = scored.filter(F.col("score") >= F.lit(lower))
     metrics.stop("threshold")
 
     # ---- merge ---------------------------------------------------------
@@ -176,7 +186,7 @@ def analyze_transcripts(
 
     # ---- stats (OP-10) ---------------------------------------------------
     metrics.start("stats")
-    stats = M.score_distribution(scored)
+    stats = dict(dist_stats)
     stats["total_windows"] = stats.pop("n")
     stats["significant_windows"] = significant.count()
     stats["merged_blocks"] = blocks.count()

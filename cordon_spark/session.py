@@ -90,12 +90,21 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's byte-based coalescing is blind to python-UDF cost: with
+        # the 64MB default it squeezed the embed stage onto 4 workers
+        # (measured). 8MB keeps UDF stages as wide as the cluster while
+        # still coalescing genuinely tiny shuffles.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
+        # small tasks + multi-executor: 3s locality waits dwarf task time
+        # (measured 12x slowdown on a 500-row mapInPandas); data is
+        # storage-disaggregated at scale anyway, so don't wait for it
+        .config("spark.locality.wait", "0s")
     )
     for var in _BLAS_VARS:  # belt-and-braces for non-local deployments
         builder = builder.config(f"spark.executorEnv.{var}", "1")
