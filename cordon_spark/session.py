@@ -83,6 +83,12 @@ def get_spark(
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
         shuffle_partitions = 32 if n == "*" else max(int(n), 1)
+    # shuffle/spill on tmpfs: this sandbox's /tmp sits on a virtual disk
+    # whose fixed throughput doesn't scale with cores; /dev/shm is a
+    # 126G tmpfs (RAM) — on a real cluster this maps to NVMe local dirs
+    local_dir = "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else None
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -108,6 +114,8 @@ def get_spark(
     )
     for var in _BLAS_VARS:  # belt-and-braces for non-local deployments
         builder = builder.config(f"spark.executorEnv.{var}", "1")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for key, val in (extra_conf or {}).items():
         builder = builder.config(key, val)
     spark = builder.getOrCreate()

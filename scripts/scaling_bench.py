@@ -73,7 +73,12 @@ def start_cluster(worker_cores: int = 32, worker_mem: str = "64g") -> None:
         SPARK_MASTER_HOST="127.0.0.1",
         SPARK_LOG_DIR="/tmp/spark-standalone-logs",
         SPARK_WORKER_DIR="/tmp/spark-standalone-work",
+        # executors take local dirs from the WORKER env in standalone
+        # mode (app-level spark.local.dir is ignored); tmpfs — see
+        # session.py note on the virtual-disk bottleneck
+        SPARK_LOCAL_DIRS="/dev/shm/spark-local",
     )
+    os.makedirs("/dev/shm/spark-local", exist_ok=True)
     subprocess.run([f"{SPARK_HOME}/sbin/start-master.sh"], env=env, check=True,
                    capture_output=True)
     _wait_port(7077)
