@@ -627,6 +627,79 @@ FROM documents
 
 
 # ------------------------------------------------------------------ #
+# Event-stream operators (sessionize / top-k / rollup / prop parse)
+# ------------------------------------------------------------------ #
+def q_sessionize(spark, sf_dir):
+    ship_package(spark)
+    from cordon_spark.operators.events import sessionize
+
+    out = sessionize(_events(spark, sf_dir))
+    return out.select(
+        "user_id", "session_id", "n_events", "start_us", "end_us",
+        r4(F.col("value_sum"), "value_sum"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+s AS (SELECT *, sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM l)
+SELECT user_id, session_id, count(*) AS n_events, min(us) AS start_us, max(us) AS end_us,
+       floor(sum(value)*10000 + 0.5)/10000 AS value_sum
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_topk_per_group(spark, sf_dir):
+    ship_package(spark)
+    from cordon_spark.operators.events import topk_per_group
+
+    return topk_per_group(_events(spark, sf_dir), k=3)
+
+
+SQL_TOPK_PER_GROUP = """
+WITH r AS (SELECT event_type, event_id, value,
+                  row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rank
+           FROM events)
+SELECT event_type, rank, event_id, value FROM r WHERE rank <= 3
+"""
+
+
+def q_time_window_rollup(spark, sf_dir):
+    ship_package(spark)
+    from cordon_spark.operators.events import time_window_rollup
+
+    out = time_window_rollup(_events(spark, sf_dir))
+    return out.select("window_id", "event_type", "n", r4(F.col("value_sum"), "value_sum"))
+
+
+SQL_TIME_WINDOW_ROLLUP = """
+SELECT epoch_us(ts) // 3600000000 AS window_id, event_type,
+       count(*) AS n, floor(sum(value)*10000 + 0.5)/10000 AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_parse_props(spark, sf_dir):
+    ship_package(spark)
+    from cordon_spark.operators.events import parse_props
+
+    out = parse_props(_events(spark, sf_dir))
+    return (
+        out.groupBy("prop_k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_PARSE_PROPS = """
+SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS prop_k, count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------------ #
 # Non-SQL-expressible extras (driver records rows-only checks)
 # ------------------------------------------------------------------ #
 def q_pipeline_text_blocks(spark, sf_dir):
@@ -683,6 +756,10 @@ QUERIES = {
     "quality_score": q_quality_score,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
+    "sessionize": q_sessionize,
+    "topk_per_group": q_topk_per_group,
+    "time_window_rollup": q_time_window_rollup,
+    "parse_props": q_parse_props,
     "pipeline_text_blocks": q_pipeline_text_blocks,
     "ann_lsh": q_ann_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -709,5 +786,9 @@ ORACLE_SQL = {
     "quality_score": SQL_QUALITY_SCORE,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "multimodal_meta": SQL_MULTIMODAL_META,
+    "sessionize": SQL_SESSIONIZE,
+    "topk_per_group": SQL_TOPK_PER_GROUP,
+    "time_window_rollup": SQL_TIME_WINDOW_ROLLUP,
+    "parse_props": SQL_PARSE_PROPS,
     # pipeline_text_blocks / ann_lsh / dedup_simhash: rows-only (no SQL)
 }

@@ -1,0 +1,85 @@
+"""Generic telemetry/log-pipeline operators over event streams.
+
+These are the standard companions of a parse -> enrich -> route
+pipeline (sessionization, top-k per group, tumbling time-window
+rollups, property extraction) — all pure DataFrame plans with exact
+DuckDB mirrors in entry_queries.
+
+Scale notes: sessionize shuffles once on the entity key (classic
+lag+cumsum gaps-and-islands); top-k per group is the window-function
+top-k (rank <= k prunes early under AQE); time rollups are a single
+hash aggregation on (bucket, type) with map-side combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+SESSION_GAP_SECONDS = 1800
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = SESSION_GAP_SECONDS,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time
+    since the previous event of the same user exceeds `gap_seconds`.
+    Output: one row per session with bounds and aggregates."""
+    w = W.partitionBy(user_col).orderBy(F.col(ts_col), F.col("event_id"))
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(micros).over(w)
+    new_session = F.when(
+        prev.isNull() | ((micros - prev) > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    with_sid = events.withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return (
+        with_sid.groupBy(user_col, "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(micros).alias("start_us"),
+            F.max(micros).alias("end_us"),
+            F.sum("value").alias("value_sum"),
+        )
+        .withColumn("session_id", F.col("session_id").cast("long"))
+    )
+
+
+def topk_per_group(
+    events: DataFrame, k: int = 3, group_col: str = "event_type"
+) -> DataFrame:
+    """Top-k events by value within each group; deterministic tie-break
+    by event_id."""
+    w = W.partitionBy(group_col).orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        events.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(group_col, F.col("rank").cast("long").alias("rank"), "event_id", "value")
+    )
+
+
+def time_window_rollup(
+    events: DataFrame, window_seconds: int = 3600, ts_col: str = "ts"
+) -> DataFrame:
+    """Tumbling time-window counts + sums per event type (batch analog
+    of the streaming windowed_anomaly_counts)."""
+    bucket = (F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(window_seconds * 1_000_000)).cast(
+        "long"
+    )
+    return events.groupBy(
+        bucket.alias("window_id"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("value_sum"))
+
+
+def parse_props(events: DataFrame, key: str = "k") -> DataFrame:
+    """Extract an integer property from the JSON-ish props string with a
+    vectorized regexp (the grok-style field pull)."""
+    pat = f'"{key}":\\s*(\\d+)'
+    return events.withColumn(
+        f"prop_{key}",
+        F.regexp_extract(F.col("props"), pat, 1).cast("long"),
+    )

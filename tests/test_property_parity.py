@@ -1,0 +1,81 @@
+"""Property-based Spark-vs-oracle parity (hypothesis): randomized small
+corpora and configs must produce the exact reference anomaly set.
+Few examples (each runs real Spark jobs) but wide input space."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from cordon_spark.config import AnalysisConfig
+from cordon_spark.oracle import run_oracle
+from cordon_spark.plans.pipeline import analyze_transcripts
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "error", "ok", "retry", "x1", "x2", ""]
+
+
+@st.composite
+def corpora(draw):
+    n_convs = draw(st.integers(1, 3))
+    rows = []
+    for c in range(n_convs):
+        n_turns = draw(st.integers(1, 18))
+        for t in range(n_turns):
+            n_words = draw(st.integers(0, 5))
+            words = [VOCAB[draw(st.integers(0, len(VOCAB) - 1))] for _ in range(n_words)]
+            trail = draw(st.sampled_from(["", " ", "\t", "  "]))
+            rows.append((f"c{c}", t, " ".join(words) + trail))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    return pdf
+
+
+@st.composite
+def configs(draw):
+    mode = draw(st.sampled_from(["pct", "range", "all", "none"]))
+    kwargs = dict(
+        window_size=draw(st.integers(1, 5)),
+        k_neighbors=draw(st.integers(1, 8)),
+    )
+    if mode == "pct":
+        kwargs["anomaly_percentile"] = draw(
+            st.sampled_from([0.02, 0.1, 0.25, 0.5, 0.9])
+        )
+    elif mode == "all":
+        kwargs["anomaly_percentile"] = 1.0
+    elif mode == "none":
+        kwargs["anomaly_percentile"] = 0.0
+    else:
+        lo = draw(st.sampled_from([0.0, 0.05, 0.2]))
+        hi = draw(st.sampled_from([0.3, 0.5, 0.9]))
+        kwargs["anomaly_range_min"] = lo
+        kwargs["anomaly_range_max"] = hi
+    return AnalysisConfig(**kwargs)
+
+
+def _blocks(pdf):
+    return {
+        (r.conv_id, int(r.start_idx), int(r.end_idx), round(float(r.max_score), 6))
+        for r in pdf.itertuples()
+    }
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(corpus=corpora(), cfg=configs())
+def test_random_corpus_exact_parity(spark, corpus, cfg):
+    oracle = run_oracle(corpus, cfg)
+    res = analyze_transcripts(spark, spark.createDataFrame(corpus), cfg)
+    got = (
+        res.scored_windows.orderBy("conv_id", "window_id")
+        .select("conv_id", "window_id", "score")
+        .toPandas()
+    )
+    exp = oracle.windows[["conv_id", "window_id", "score"]].reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert np.allclose(got.score.to_numpy(), exp.score.to_numpy(), atol=1e-12)
+    assert _blocks(res.blocks.toPandas()) == _blocks(oracle.blocks)
+    assert res.counts["anomalous"] == oracle.stats["anomalous_turns"]
+    assert res.counts["routine"] == oracle.stats["routine_turns"]
