@@ -63,31 +63,47 @@ def _sentence_transformer_udf(model_name: str, batch_size: int):
     return embed
 
 
+def remote_embed_batch(
+    texts: list[str],
+    model_name: str,
+    api_base: str | None,
+    api_key: str | None,
+    timeout: float,
+) -> np.ndarray:
+    """One batched remote-API embedding call + explicit L2 norm
+    (remote.py:59-74); provider errors map to RuntimeError
+    (remote.py:78-96). Module-level so tests can mock `litellm` exactly
+    like the reference's tests/test_remote.py:73-95."""
+    import litellm  # import-gated
+
+    try:
+        resp = litellm.embedding(
+            model=model_name,
+            input=texts,
+            api_key=api_key,
+            api_base=api_base,
+            timeout=timeout,
+        )
+    except Exception as exc:  # error mapping, remote.py:78-96
+        raise RuntimeError(f"remote embedding failed: {exc}") from exc
+    mat = np.array([d["embedding"] for d in resp["data"]], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return mat / norms
+
+
 def _remote_udf(model_name: str, api_base: str | None, api_key: str | None, timeout: float):
-    """Remote-API backend (remote.py:30-96): batched HTTP per Arrow batch,
-    explicit L2 norm (remote.py:72-74), provider errors surfaced as
-    RuntimeError (remote.py:78-96)."""
+    """Remote-API backend as an Arrow UDF: batched HTTP per Arrow batch."""
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        import litellm  # import-gated
+        from cordon_spark.functions.embeddings import remote_embed_batch
 
         for s in batches:
-            texts = s.fillna("").tolist()
-            try:
-                resp = litellm.embedding(
-                    model=model_name,
-                    input=texts,
-                    api_key=api_key,
-                    api_base=api_base,
-                    timeout=timeout,
-                )
-            except Exception as exc:  # error mapping, remote.py:78-96
-                raise RuntimeError(f"remote embedding failed: {exc}") from exc
-            mat = np.array([d["embedding"] for d in resp["data"]], dtype=np.float64)
-            norms = np.linalg.norm(mat, axis=1, keepdims=True)
-            norms[norms == 0.0] = 1.0
-            yield pd.Series(list(mat / norms))
+            mat = remote_embed_batch(
+                s.fillna("").tolist(), model_name, api_base, api_key, timeout
+            )
+            yield pd.Series(list(mat))
 
     return embed
 
