@@ -78,7 +78,7 @@ class AnalysisConfig:
             raise ValueError("scoring_chunk_size must be >= 1")
         if self.scorer not in ("knn", "centroid"):
             raise ValueError(f"unknown scorer: {self.scorer}")
-        if self.backend not in ("hash", "sentence-transformers", "remote"):
+        if self.backend not in ("hash", "sentence-transformers", "remote", "llama-cpp"):
             raise ValueError(f"unknown backend: {self.backend}")
 
     @property

@@ -108,6 +108,40 @@ def _remote_udf(model_name: str, api_base: str | None, api_key: str | None, time
     return embed
 
 
+def llama_embed_batch(texts: list[str], model_path: str) -> np.ndarray:
+    """llama-cpp backend batch (llama_cpp.py:45-66): per-text
+    create_embedding + explicit L2 norm (:62-64). Module-level for
+    mockability (reference tests/test_llama_cpp.py:13-47)."""
+    import llama_cpp  # import-gated
+
+    model = _llama_model_cache.get(model_path)
+    if model is None:
+        model = llama_cpp.Llama(model_path=model_path, embedding=True, verbose=False)
+        _llama_model_cache[model_path] = model
+    out = []
+    for text in texts:
+        emb = np.asarray(
+            model.create_embedding(text)["data"][0]["embedding"], dtype=np.float64
+        )
+        nrm = float(np.linalg.norm(emb))
+        out.append(emb / nrm if nrm > 0 else emb)
+    return np.stack(out) if out else np.zeros((0, 1))
+
+
+_llama_model_cache: dict = {}
+
+
+def _llama_udf(model_path: str):
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from cordon_spark.functions.embeddings import llama_embed_batch
+
+        for s in batches:
+            yield pd.Series(list(llama_embed_batch(s.fillna("").tolist(), model_path)))
+
+    return embed
+
+
 def create_embedder(cfg: AnalysisConfig) -> Callable[[DataFrame, str], DataFrame]:
     """Factory (embedding/__init__.py:10-31 pattern): returns a stage
     function df -> df + `embedding: array<double>` column."""
@@ -117,6 +151,8 @@ def create_embedder(cfg: AnalysisConfig) -> Callable[[DataFrame, str], DataFrame
         udf = _sentence_transformer_udf(cfg.model_name, cfg.batch_size)
     elif cfg.backend == "remote":
         udf = _remote_udf(cfg.model_name, cfg.api_base, cfg.api_key, cfg.request_timeout)
+    elif cfg.backend == "llama-cpp":
+        udf = _llama_udf(cfg.model_name)
     else:  # pragma: no cover - config validates
         raise ValueError(cfg.backend)
 

@@ -58,3 +58,29 @@ def test_sentence_transformers_gated():
     # at executor import time, the factory itself must not require it
     fn = E.create_embedder(AnalysisConfig(backend="sentence-transformers"))
     assert callable(fn)
+
+
+def test_llama_batch_mocked(monkeypatch):
+    fake = types.ModuleType("llama_cpp")
+
+    class FakeLlama:
+        def __init__(self, model_path, embedding, verbose):
+            self.model_path = model_path
+
+        def create_embedding(self, text):
+            return {"data": [{"embedding": [1.0, 1.0, 1.0, 1.0]}]}
+
+    fake.Llama = FakeLlama
+    monkeypatch.setitem(sys.modules, "llama_cpp", fake)
+    E._llama_model_cache.clear()
+    mat = E.llama_embed_batch(["a", "b"], "fake.gguf")
+    assert mat.shape == (2, 4)
+    assert np.allclose(np.linalg.norm(mat, axis=1), 1.0)  # llama_cpp.py:62-64
+    # model cached once per worker
+    assert len(E._llama_model_cache) == 1
+
+
+def test_llama_factory():
+    from cordon_spark.config import AnalysisConfig
+
+    assert callable(E.create_embedder(AnalysisConfig(backend="llama-cpp")))

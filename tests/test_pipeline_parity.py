@@ -144,3 +144,13 @@ def test_planted_anomalies_found(spark):
             found += 1 if len(hit) else 0
     total = sum(len(v) for v in truth.anomalies.values())
     assert found == total  # every planted burst overlapped by a block
+
+
+def test_salted_repartition_same_result(spark, tiny_transcripts, tiny_df):
+    # cfg.salt_buckets forces an explicit pre-window repartition (the
+    # long-conversation skew hook); results must be identical
+    pdf, _ = tiny_transcripts
+    base = analyze_transcripts(spark, tiny_df, AnalysisConfig())
+    salted = analyze_transcripts(spark, tiny_df, AnalysisConfig(salt_buckets=7))
+    assert _block_set(base.blocks.toPandas()) == _block_set(salted.blocks.toPandas())
+    assert base.counts == salted.counts

@@ -125,3 +125,19 @@ def test_streaming_route_memory_sink(spark, tmp_path):
     counts = {r.sink: r.n for r in got}
     assert sum(counts.values()) == len(pdf)
     assert set(counts) <= {"anomalous", "routine"}
+
+
+def test_cli_warehouse_resume(spark, tmp_path):
+    from cordon_spark.cli import main
+
+    lines = ["steady state line"] * 24 + ["CATASTROPHIC novel failure qq"] + [
+        "steady state line"
+    ] * 24
+    p = tmp_path / "w.log"
+    p.write_text("\n".join(lines) + "\n")
+    out1, out2 = tmp_path / "b1.txt", tmp_path / "b2.txt"
+    wh = str(tmp_path / "wh")
+    rc1 = main([str(p), "--output", str(out1), "--warehouse", wh, "--run-id", "rr"])
+    rc2 = main([str(p), "--output", str(out2), "--warehouse", wh, "--run-id", "rr", "--resume"])
+    assert rc1 == 0 and rc2 == 0
+    assert out1.read_text() == out2.read_text()  # resume reproduces output
