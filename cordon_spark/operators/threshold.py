@@ -76,7 +76,13 @@ def _bracketed_percentiles(df: DataFrame, col: str, qs: list[float], n_rows: int
     ).first()["b"]
     a_los = [float(bounds[i]) for i in range(len(qs))]
     a_his = [float(bounds[i + len(qs)]) for i in range(len(qs))]
-    # job 2: exact global rank offsets for ALL brackets in one aggregate
+    return _refine_brackets(df, col, qs, n_rows, a_los, a_his)
+
+
+def _refine_brackets(df, col, qs, n_rows, a_los, a_his):
+    """Exact refinement given approx brackets: one aggregate for the
+    global rank offsets + one collect of the union of (tiny) bands."""
+    # exact global rank offsets for ALL brackets in one aggregate
     below_row = df.select(
         *[
             F.sum(F.when(F.col(col) < F.lit(a_lo), 1).otherwise(0)).alias(f"b{i}")
@@ -130,25 +136,37 @@ def compute_thresholds(
 def thresholds_and_stats(
     scored: DataFrame, cfg: AnalysisConfig, score_col: str = "score"
 ) -> tuple[float | None, float | None, dict]:
-    """Threshold(s) + the OP-10 score distribution in ONE percentile
-    pass (median, p90 and the threshold quantiles share the scan) plus
-    one cheap count/min/max/avg aggregate."""
-    row = scored.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min(score_col).alias("min"),
-        F.max(score_col).alias("max"),
-        F.avg(score_col).alias("mean"),
-    ).first()
-    n = row["n"]
-    if n == 0:
-        return None, None, {"min": 0.0, "max": 0.0, "mean": 0.0, "median": 0.0, "p90": 0.0, "n": 0}
+    """Threshold(s) + the OP-10 score distribution, minimizing jobs:
+    job 1 fuses count/min/max/avg WITH the approx percentile brackets;
+    then either one direct exact-percentile job (small n) or the
+    rank-offset + band-collect jobs (large n)."""
     pcts = [50.0, 90.0]
     if not (cfg.keep_all or cfg.keep_none):
         if cfg.range_mode:
             pcts += [(1.0 - cfg.anomaly_range_max) * 100.0, (1.0 - cfg.anomaly_range_min) * 100.0]
         else:
             pcts += [(1.0 - cfg.anomaly_percentile) * 100.0]
-    vals = exact_percentiles(scored, score_col, pcts, n_rows=n)
+    qs = [p / 100.0 for p in pcts]
+    accuracy = 10_000
+    margin = 3.0 / accuracy
+    lo_qs = [max(q - margin, 0.0) for q in qs]
+    hi_qs = [min(q + margin, 1.0) for q in qs]
+    row = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(score_col).alias("min"),
+        F.max(score_col).alias("max"),
+        F.avg(score_col).alias("mean"),
+        F.percentile_approx(score_col, lo_qs + hi_qs, accuracy).alias("bounds"),
+    ).first()
+    n = row["n"]
+    if n == 0:
+        return None, None, {"min": 0.0, "max": 0.0, "mean": 0.0, "median": 0.0, "p90": 0.0, "n": 0}
+    if n <= EXACT_PERCENTILE_DIRECT_LIMIT:
+        vals = exact_percentiles(scored, score_col, pcts, n_rows=n)
+    else:
+        a_los = [float(row["bounds"][i]) for i in range(len(qs))]
+        a_his = [float(row["bounds"][i + len(qs)]) for i in range(len(qs))]
+        vals = _refine_brackets(scored, score_col, qs, n, a_los, a_his)
     stats = {
         "min": float(row["min"]),
         "max": float(row["max"]),

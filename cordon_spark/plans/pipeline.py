@@ -162,6 +162,11 @@ def analyze_transcripts(
         metrics,
         resume,
     )
+    if catalog is None:
+        # blocks is tiny but feeds three consumers (router broadcast,
+        # count, rendering) — don't re-run the merge per action
+        blocks = blocks.persist()
+        caches.append(blocks)
     metrics.stop("merge")
 
     # ---- route + sinks --------------------------------------------------
