@@ -48,6 +48,23 @@ def value_hash(rows: list[tuple], cols: list[str]) -> str:
     return hashlib.md5("\n".join(norm_rows).encode()).hexdigest()
 
 
+_TYPE_NORM = {
+    # spark simpleString -> canonical
+    "bigint": "int64", "long": "int64", "int": "int32", "integer": "int32",
+    "smallint": "int16", "double": "float64", "float": "float32",
+    "string": "str", "varchar": "str", "boolean": "bool",
+    "timestamp": "ts", "timestamp_ntz": "ts", "date": "date",
+    # duckdb type names
+    "BIGINT": "int64", "HUGEINT": "int64", "INTEGER": "int32",
+    "SMALLINT": "int16", "DOUBLE": "float64", "FLOAT": "float32",
+    "VARCHAR": "str", "BOOLEAN": "bool", "TIMESTAMP": "ts", "DATE": "date",
+}
+
+
+def type_map(pairs) -> dict:
+    return {name: _TYPE_NORM.get(t, t) for name, t in pairs}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
@@ -82,9 +99,10 @@ def main() -> int:
             print(f"rows  {name:28s} n={len(srows):6d} (no oracle) {time.time()-t0:5.1f}s")
             continue
         try:
-            cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            otypes_raw = [str(t) for t in rel.types]
+            orows = rel.fetchall()
         except Exception as exc:
             print(f"FAIL  {name:28s} duckdb error: {exc}")
             failures.append(name)
@@ -92,6 +110,14 @@ def main() -> int:
         problems = []
         if sorted(cols) != sorted(ocols):
             problems.append(f"schema {sorted(cols)} vs {sorted(ocols)}")
+        else:
+            stypes = type_map((f.name, f.dataType.simpleString()) for f in sdf.schema.fields)
+            otypes = type_map(zip(ocols, otypes_raw))
+            drift = {
+                c: (stypes[c], otypes[c]) for c in stypes if stypes[c] != otypes.get(c)
+            }
+            if drift:
+                problems.append(f"type drift {drift}")
         if len(srows) != len(orows):
             problems.append(f"rows {len(srows)} vs {len(orows)}")
         if not problems:
