@@ -627,6 +627,70 @@ FROM documents
 
 
 # ------------------------------------------------------------------ #
+# OP-13: eval-harness metrics over the pipeline's flagged blocks
+# (ground truth: deterministic label lang == 'zh' on the doc table)
+# ------------------------------------------------------------------ #
+def q_eval_turn_metrics(spark, sf_dir):
+    ship_package(spark)
+    import math
+
+    from cordon_spark.plans.evaluate import turn_level_metrics
+
+    _, blocks = _vec_pipeline(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    labeled = (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            F.concat(
+                F.lit("c"), F.floor(F.col("doc_id") / 50).cast("long").cast("string")
+            ).alias("conv_id"),
+            (F.col("doc_id") % 50).alias("turn_idx"),
+            (F.col("lang") == "zh").alias("is_anomaly"),
+        )
+    )
+    m = turn_level_metrics(labeled, blocks)
+
+    def r4f(x):
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    row = [
+        (
+            int(m["tp"]), int(m["fp"]), int(m["fn"]),
+            r4f(m["precision"]), r4f(m["recall"]), r4f(m["f1"]),
+        )
+    ]
+    return spark.createDataFrame(
+        row, "tp long, fp long, fn long, precision double, recall double, f1 double"
+    )
+
+
+SQL_EVAL_TURN_METRICS = f"""
+WITH {PIPE_SQL},
+lab AS (SELECT 'c' || CAST(d.doc_id // 50 AS VARCHAR) AS conv_id, d.doc_id % 50 AS turn_idx,
+               (d.lang = 'zh') AS is_anomaly
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+fl AS (SELECT l.is_anomaly, (b.conv_id IS NOT NULL) AS flagged
+       FROM lab l LEFT JOIN blocks b
+         ON b.conv_id = l.conv_id AND l.turn_idx BETWEEN b.start_idx AND b.end_idx),
+agg AS (SELECT
+          sum(CASE WHEN flagged AND is_anomaly THEN 1 ELSE 0 END)::BIGINT AS tp,
+          sum(CASE WHEN flagged AND NOT is_anomaly THEN 1 ELSE 0 END)::BIGINT AS fp,
+          sum(CASE WHEN NOT flagged AND is_anomaly THEN 1 ELSE 0 END)::BIGINT AS fn
+        FROM fl),
+pr AS (SELECT tp, fp, fn,
+              CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp)::DOUBLE END AS p,
+              CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn)::DOUBLE END AS r
+       FROM agg)
+SELECT tp, fp, fn,
+       floor(p*10000 + 0.5)/10000 AS precision,
+       floor(r*10000 + 0.5)/10000 AS recall,
+       floor((CASE WHEN p + r = 0 THEN 0.0 ELSE 2 * p * r / (p + r) END)*10000 + 0.5)/10000 AS f1
+FROM pr
+"""
+
+
+# ------------------------------------------------------------------ #
 # Event-stream operators (sessionize / top-k / rollup / prop parse)
 # ------------------------------------------------------------------ #
 def q_sessionize(spark, sf_dir):
@@ -756,6 +820,7 @@ QUERIES = {
     "quality_score": q_quality_score,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
+    "eval_turn_metrics": q_eval_turn_metrics,
     "sessionize": q_sessionize,
     "topk_per_group": q_topk_per_group,
     "time_window_rollup": q_time_window_rollup,
@@ -786,6 +851,7 @@ ORACLE_SQL = {
     "quality_score": SQL_QUALITY_SCORE,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "multimodal_meta": SQL_MULTIMODAL_META,
+    "eval_turn_metrics": SQL_EVAL_TURN_METRICS,
     "sessionize": SQL_SESSIONIZE,
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "time_window_rollup": SQL_TIME_WINDOW_ROLLUP,
