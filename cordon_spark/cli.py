@@ -32,7 +32,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--anomaly-range", nargs=2, type=float, metavar=("MIN", "MAX"), default=None
     )
     p.add_argument("--backend", default="hash",
-                   choices=["hash", "sentence-transformers", "remote"])
+                   choices=["hash", "sentence-transformers", "llama-cpp", "remote"])
     p.add_argument("--model-name", default="hash-64")
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--scorer", default="knn", choices=["knn", "centroid"])
@@ -77,22 +77,32 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("cordon_spark_cli", master=args.master)
     catalog = SnapshotCatalog(args.warehouse) if args.warehouse else None
 
+    from cordon_spark.kernel import stable_hash64
+
     rc = 0
     for path in args.inputs:
         t0 = time.time()
-        if path.endswith((".log", ".txt")):
-            transcripts = log_lines_as_transcript(spark, path)
-        else:
-            transcripts = spark.read.parquet(path)
-        res = analyze_transcripts(
-            spark,
-            transcripts,
-            cfg,
-            templates=TEMPLATES if cfg.scorer == "centroid" else None,
-            catalog=catalog,
-            run_id=f"{args.run_id}-{abs(hash(path)) % 10**8}",
-            resume=args.resume,
-        )
+        try:
+            if path.endswith((".log", ".txt")):
+                transcripts = log_lines_as_transcript(spark, path)
+            else:
+                transcripts = spark.read.parquet(path)
+            res = analyze_transcripts(
+                spark,
+                transcripts,
+                cfg,
+                templates=TEMPLATES if cfg.scorer == "centroid" else None,
+                catalog=catalog,
+                # PYTHONHASHSEED-independent suffix so --resume in a NEW
+                # process finds the prior run's snapshots (reference
+                # benchmark/evaluate.py:898-965 resume contract).
+                run_id=f"{args.run_id}-{stable_hash64(path) % 10**8}",
+                resume=args.resume,
+            )
+        except Exception as exc:  # per-file failure -> nonzero exit, keep going
+            print(f"error: {path}: {exc}", file=sys.stderr)
+            rc = 1
+            continue
         rendered = render_blocks(transcripts, res.blocks)
         parts = [
             r.block_text

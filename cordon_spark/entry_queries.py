@@ -409,7 +409,8 @@ def q_enrich_events(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("risk").cast("long").alias("risk_sum"),
-            r4(F.sum("value"), "value_sum"),
+            # decimal sum -> order-independent across parallelism levels
+            r4(F.sum(F.col("value").cast("decimal(20,6)")).cast("double"), "value_sum"),
         )
     )
 
@@ -420,7 +421,7 @@ WITH dim(event_type, category, risk) AS
 j AS (SELECT coalesce(d.category, 'unknown') AS category, coalesce(d.risk, 0) AS risk, e.value
       FROM events e LEFT JOIN dim d ON e.event_type = d.event_type)
 SELECT category, count(*) AS n, sum(risk)::BIGINT AS risk_sum,
-       floor(sum(value)*10000 + 0.5)/10000 AS value_sum
+       floor(sum(value::DECIMAL(20,6))::DOUBLE*10000 + 0.5)/10000 AS value_sum
 FROM j GROUP BY category
 """
 
@@ -711,7 +712,7 @@ s AS (SELECT *, sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE
         OVER (PARTITION BY user_id ORDER BY us, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM l)
 SELECT user_id, session_id, count(*) AS n_events, min(us) AS start_us, max(us) AS end_us,
-       floor(sum(value)*10000 + 0.5)/10000 AS value_sum
+       floor(sum(value::DECIMAL(20,6))::DOUBLE*10000 + 0.5)/10000 AS value_sum
 FROM s GROUP BY user_id, session_id
 """
 
@@ -741,7 +742,7 @@ def q_time_window_rollup(spark, sf_dir):
 
 SQL_TIME_WINDOW_ROLLUP = """
 SELECT epoch_us(ts) // 3600000000 AS window_id, event_type,
-       count(*) AS n, floor(sum(value)*10000 + 0.5)/10000 AS value_sum
+       count(*) AS n, floor(sum(value::DECIMAL(20,6))::DOUBLE*10000 + 0.5)/10000 AS value_sum
 FROM events GROUP BY 1, 2
 """
 

@@ -43,7 +43,10 @@ def sessionize(
             F.count(F.lit(1)).alias("n_events"),
             F.min(micros).alias("start_us"),
             F.max(micros).alias("end_us"),
-            F.sum("value").alias("value_sum"),
+            # Sum in decimal so the result is independent of partition /
+            # accumulation order (double sums flip the last ulp across
+            # parallelism levels; decimal arithmetic is exact).
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("value_sum"),
         )
         .withColumn("session_id", F.col("session_id").cast("long"))
     )
@@ -72,7 +75,11 @@ def time_window_rollup(
     )
     return events.groupBy(
         bucket.alias("window_id"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("value_sum"))
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        # Decimal sum: order-independent across partitionings (see sessionize).
+        F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("value_sum"),
+    )
 
 
 def parse_props(events: DataFrame, key: str = "k") -> DataFrame:

@@ -72,7 +72,10 @@ def main() -> int:
     import __spark_entry__ as E
     from cordon_spark.session import get_spark
 
-    spark = get_spark("check_entry", master="local[8]", shuffle_partitions=8)
+    import os
+
+    master = os.environ.get("CHECK_MASTER", "local[8]")
+    spark = get_spark("check_entry", master=master, shuffle_partitions=8)
 
     con = duckdb.connect()
     for t in TABLES:

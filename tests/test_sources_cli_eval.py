@@ -127,6 +127,63 @@ def test_streaming_route_memory_sink(spark, tmp_path):
     assert set(counts) <= {"anomalous", "routine"}
 
 
+def test_cli_resume_across_processes(tmp_path):
+    """--resume must work from a NEW process: run_id derives from a
+    PYTHONHASHSEED-independent digest (kernel.stable_hash64), so the
+    second process finds the first one's snapshots and SKIPS the stages
+    (manifests untouched) instead of silently recomputing."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    lines = ["steady state line"] * 24 + ["CATASTROPHIC novel failure qq"] + [
+        "steady state line"
+    ] * 24
+    p = tmp_path / "w.log"
+    p.write_text("\n".join(lines) + "\n")
+    wh = tmp_path / "wh"
+    out1, out2 = tmp_path / "b1.txt", tmp_path / "b2.txt"
+
+    def run(out, resume, hashseed):
+        env = dict(os.environ, PYTHONHASHSEED=hashseed)
+        env.pop("SPARK_HOME", None)
+        args = [
+            sys.executable, "-m", "cordon_spark.cli", str(p),
+            "--output", str(out), "--warehouse", str(wh),
+            "--run-id", "xp", "--master", "local[2]",
+        ] + (["--resume"] if resume else [])
+        return subprocess.run(
+            args, cwd="/root/repo", env=env, capture_output=True, text=True, timeout=600
+        )
+
+    r1 = run(out1, resume=False, hashseed="1")
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    manifests = sorted(wh.glob("*/manifests/*.json"))
+    assert manifests, "first run must commit snapshots"
+    committed1 = {str(m): json.loads(m.read_text())["committed_at"] for m in manifests}
+
+    r2 = run(out2, resume=True, hashseed="42")  # different hash seed on purpose
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    committed2 = {
+        str(m): json.loads(m.read_text())["committed_at"]
+        for m in sorted(wh.glob("*/manifests/*.json"))
+    }
+    assert committed2 == committed1, "resume must reuse snapshots, not rewrite them"
+    assert out1.read_text() == out2.read_text()
+
+
+def test_cli_nonzero_exit_on_bad_input(spark, tmp_path):
+    from cordon_spark.cli import main
+
+    good = tmp_path / "g.log"
+    good.write_text("\n".join(["fine line"] * 30) + "\n")
+    rc = main([str(tmp_path / "missing.parquet"), str(good), "--output",
+               str(tmp_path / "o.txt")])
+    assert rc == 1  # failed file -> nonzero, good file still processed
+    assert (tmp_path / "o.txt").exists()
+
+
 def test_cli_warehouse_resume(spark, tmp_path):
     from cordon_spark.cli import main
 
