@@ -37,6 +37,11 @@ class AnalysisConfig:
     # scoring execution (reference scorer.py:89-127 auto batch sizing)
     scorer: str = "knn"  # knn (exact, test-scale) | centroid (sketch, 100TB-scale)
     scoring_chunk_size: int = 8192
+    # exact kNN collects the full (n_windows x dim) matrix to the driver
+    # and broadcasts it; above this window count it refuses with a
+    # pointer at scorer="centroid" so defaults can't OOM the driver at
+    # scale. 1M x 64d = ~0.5 GB broadcast — the sane ceiling.
+    knn_max_windows: int = 1_000_000
 
     # Spark execution knobs
     shuffle_partitions: int | None = None
@@ -76,6 +81,8 @@ class AnalysisConfig:
             raise ValueError(f"embedding_dim must be >= 1, got {self.embedding_dim}")
         if self.scoring_chunk_size < 1:
             raise ValueError("scoring_chunk_size must be >= 1")
+        if self.knn_max_windows < 1:
+            raise ValueError("knn_max_windows must be >= 1")
         if self.scorer not in ("knn", "centroid"):
             raise ValueError(f"unknown scorer: {self.scorer}")
         if self.backend not in ("hash", "sentence-transformers", "remote", "llama-cpp"):

@@ -103,7 +103,8 @@ def generate_transcripts(
                 if t == 0:
                     text = ""  # empty turn
                 elif t == 1:
-                    text = text + "   \t"  # trailing-whitespace turn (rstrip semantics)
+                    # trailing ASCII + Unicode whitespace (str.rstrip parity)
+                    text = text + "   \t\xa0\u2028\u3000"
                 elif t == 2:
                     dup_text = text
                 elif t == 3 and dup_text is not None:

@@ -75,7 +75,11 @@ TRANSCRIPTS_SQL = (
     "doc_id % 50 AS turn_idx, text FROM documents"
 )
 
-_RTRIM = "rtrim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11))"
+from cordon_spark.kernel import PY_WHITESPACE as _PY_WS
+
+# str.rstrip()-equivalent char list, generated from the same constant as
+# the Spark regex (kernel.PY_WHITESPACE) so all three engines agree
+_RTRIM = "rtrim(text, " + " || ".join(f"chr({ord(c)})" for c in _PY_WS) + ")"
 
 NORM_EMB_SQL = """
 e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
@@ -267,18 +271,23 @@ def _vec_pipeline(spark, sf_dir):
         )
     )
     with_wid = turns.withColumn("window_id", F.floor(F.col("turn_idx") / WS).cast("long"))
-    bounds = with_wid.groupBy("conv_id", "window_id").agg(
-        F.min("turn_idx").alias("start_idx"), F.max("turn_idx").alias("end_idx")
+    # bounds + window-mean vector in ONE groupBy/exchange: collect the
+    # <= WS member vectors and fold them with zip_with (JVM-side array
+    # sum). The earlier posexplode + per-dim groupBy spelling blew every
+    # row up 64x through an extra aggregation.
+    grouped = with_wid.groupBy("conv_id", "window_id").agg(
+        F.min("turn_idx").alias("start_idx"),
+        F.max("turn_idx").alias("end_idx"),
+        F.collect_list("v").alias("vs"),
     )
-    dims = with_wid.select("conv_id", "window_id", F.posexplode("v").alias("dim", "val"))
-    per_dim = dims.groupBy("conv_id", "window_id", "dim").agg(F.avg("val").alias("val"))
-    wvec = per_dim.groupBy("conv_id", "window_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "val"))), lambda s: s["val"]
-        ).alias("embedding")
+    zero = F.array_repeat(F.lit(0.0), F.size(F.element_at("vs", 1)))
+    vsum = F.aggregate(
+        F.col("vs"), zero, lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b)
     )
-    wvec = S.normalize(wvec, "embedding")
-    windows = bounds.join(wvec, on=["conv_id", "window_id"])
+    windows = grouped.withColumn(
+        "embedding", F.transform(vsum, lambda x: x / F.size("vs"))
+    ).drop("vs")
+    windows = S.normalize(windows, "embedding")
     cfg = AnalysisConfig(k_neighbors=K, anomaly_percentile=P)
     scored = score_windows_knn(spark, windows, cfg)
     kept, _, _ = select_significant(scored, cfg)
@@ -448,7 +457,8 @@ tk AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') 
 _SHINGLES3_SQL = (
     _TOKS_SQL
     + """,
-sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+sh AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+         WHEN len(toks) >= 3
          THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
                                            i -> array_to_string(toks[i:i+2], ' ')))
          ELSE [array_to_string(toks, ' ')] END AS sh FROM tk)

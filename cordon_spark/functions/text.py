@@ -65,6 +65,9 @@ def quality_score_col(text_col: str = "text") -> Column:
 
 def fingerprint_col(text_col: str = "text", n: int = 5) -> Column:
     """Document fingerprint: lexicographic MIN md5 over n-token shingles
-    (min-hash winnowing); short docs hash their full token string."""
+    (min-hash winnowing); short docs hash their full token string, and
+    empty docs keep a stable fingerprint md5('') (shingles_col itself
+    emits none for empty docs — dedup semantics differ deliberately)."""
     sh = shingles_col(tokens_col(text_col), n)
+    sh = F.when(F.size(sh) == 0, F.array(F.lit(""))).otherwise(sh)
     return F.array_min(F.transform(sh, lambda s: F.md5(s)))

@@ -27,7 +27,16 @@ import re
 
 import numpy as np
 
-_WS_END = re.compile(r"[ \t\n\r\f\v]+$")
+# Exactly the codepoints Python str.rstrip() strips (str.isspace() set),
+# because the reference strips with str.rstrip() (ingestion/reader.py:25).
+# Shared with the Spark (Java regex) and DuckDB (rtrim char list) mirrors
+# so per-turn text equality holds for Unicode whitespace (\xa0,  , …).
+PY_WHITESPACE = (
+    "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
+    "\u2028\u2029\u202f\u205f\u3000"
+)
+_WS_END = re.compile("[" + re.escape(PY_WHITESPACE) + "]+$")
 
 # token -> (bucket, sign) memo; tokens in templated logs repeat heavily
 _TOKEN_CACHE: dict[tuple[str, int], tuple[int, float]] = {}
@@ -35,7 +44,8 @@ _TOKEN_CACHE_MAX = 1_000_000
 
 
 def rstrip_text(text: str | None) -> str:
-    """ASCII-whitespace rstrip, identical on both engines.
+    """str.rstrip()-equivalent (Unicode whitespace), identical on all
+    engines via the explicit PY_WHITESPACE class.
 
     Reference strips trailing whitespace at read time
     (src/cordon/ingestion/reader.py:25).

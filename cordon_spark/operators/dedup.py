@@ -36,13 +36,18 @@ def tokens_col(text_col: str = "text") -> Column:
 
 def shingles_col(toks: Column, n: int) -> Column:
     """Distinct n-gram shingles (space-joined); shorter docs collapse to
-    one whole-doc shingle (kernel.token_shingles semantics)."""
+    one whole-doc shingle; empty/whitespace-only docs yield NO shingles
+    (kernel.token_shingles semantics — without the empty guard two empty
+    docs would band-bucket together and report jaccard 1.0 while the
+    kernel hash family emits no band keys)."""
     ngrams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
-    return F.when(F.size(toks) >= n, F.array_distinct(ngrams)).otherwise(
-        F.array(F.array_join(toks, " "))
+    return (
+        F.when(F.size(toks) == 0, F.array().cast("array<string>"))
+        .when(F.size(toks) >= n, F.array_distinct(ngrams))
+        .otherwise(F.array(F.array_join(toks, " ")))
     )
 
 
@@ -98,34 +103,41 @@ def minhash_lsh_pairs(
     Hash family: h_j(s) = md5(f"{j}|{s}"), signature = lexicographic MIN
     hex string (kernel.minhash_band_keys) — md5 exists on both engines so
     the DuckDB oracle reproduces it exactly. Scale: everything before
-    verification is linear; candidates shuffle on (band, signature)."""
-    spark = docs.sparkSession
+    verification is linear; candidates shuffle on (band, signature).
+
+    The whole signature is ONE whole-stage-codegen projection per doc
+    (nested higher-order functions: for each of the bands*rows hash fns,
+    array_min over the shingle set) — no explode, no crossJoin, no
+    pre-bucketing exchange. The earlier shingle x hash-fn crossJoin
+    spelling shuffled 16x the shingle rows through two aggregations."""
+    nh = bands * rows
     sh = docs.select(
         F.col(id_col), shingles_col(tokens_col(text_col), n).alias("sh")
     )
-    exploded = sh.select(id_col, F.explode("sh").alias("s1"))
-    hash_fns = spark.range(bands * rows).withColumnRenamed("id", "j")
-    minhashes = (
-        exploded.crossJoin(F.broadcast(hash_fns))
-        .select(
-            id_col,
-            "j",
-            F.md5(F.concat(F.col("j").cast("string"), F.lit("|"), F.col("s1"))).alias("h"),
-        )
-        .groupBy(id_col, "j")
-        .agg(F.min("h").alias("mh"))
+    # mhs[j] = min over shingles s of md5(f"{j}|{s}"); docs with no
+    # shingles emit no band keys (mhs of nulls -> filtered below)
+    mhs = F.transform(
+        F.sequence(F.lit(0), F.lit(nh - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda s: F.md5(F.concat(j.cast("string"), F.lit("|"), s)),
+            )
+        ),
+    )
+    # band b's signature joins its `rows` consecutive minhashes in j-order
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("long").alias("band"),
+            F.array_join(F.slice(F.col("mhs"), b * rows + 1, rows), "|").alias("sig"),
+        ),
     )
     band_sigs = (
-        minhashes.withColumn("band", (F.col("j") / rows).cast("long"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "mh"))), lambda s: s["mh"]
-                ),
-                "|",
-            ).alias("sig")
-        )
+        sh.filter(F.size("sh") > 0)
+        .withColumn("mhs", mhs)
+        .select(id_col, F.explode(band_structs).alias("bs"))
+        .select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     )
     a, b = band_sigs.alias("a"), band_sigs.alias("b")
     cands = (

@@ -56,18 +56,3 @@ def extract_templates(
             yield result
 
     return df.withColumn(out_col, match_udf(F.col(text_col)))
-
-
-def window_signature(
-    windows_or_turns: DataFrame, by: tuple[str, ...], template_col: str = "template_id"
-) -> DataFrame:
-    """Per-window template signature = ordered join of member turn
-    template ids — the centroid-sketch key (north_star 'per-template
-    centroid'). Aggregates alongside the window groupBy; unmatched turns
-    contribute '?'."""
-    ordered = F.array_sort(
-        F.collect_list(F.struct("turn_idx", F.coalesce(template_col, F.lit("?")).alias("t")))
-    )
-    return windows_or_turns.groupBy(*by).agg(
-        F.array_join(F.transform(ordered, lambda s: s["t"]), ",").alias("signature")
-    )

@@ -12,9 +12,12 @@ distributed form is:
   2. BROADCAST it to all executors,
   3. mapInPandas: each partition scores ITS OWN rows against the
      broadcast matrix with the shared numpy kernel — embarrassingly
-     parallel, zero shuffle, and partition-invariant by construction
-     (the reference's batch-size-invariance property,
-     tests/test_analysis.py:76-100).
+     parallel, zero shuffle, and partition-invariant up to ~1 ulp of
+     BLAS rounding (dgemm results are shape-dependent, so a score
+     exactly on a threshold boundary can in principle flip between
+     partitionings; cross-engine checks therefore compare after
+     floor(x*1e4+0.5) rounding — the reference's batch-size-invariance
+     property, tests/test_analysis.py:76-100, has the same caveat).
 
 The relational spelling (crossJoin + Window row_number <= k + avg) is
 kept in the DuckDB oracle SQL only — it is the O(n^2)-shuffle plan you
@@ -61,7 +64,21 @@ def score_windows_knn(
 
     Single-window edge: score 0.0 (scorer.py:344-346); empty input:
     empty output (scorer.py:340-341) — both handled inside the kernel.
+
+    Guarded: refuses above cfg.knn_max_windows (the matrix collect is
+    driver-bound by design — it is the exact test-scale oracle); the
+    scale path is scorer="centroid".
     """
+    # limit-probe instead of a full count: early-terminates as soon as
+    # max+1 rows exist, so the guard costs ~nothing at 10^12-turn scale
+    probe = windows.limit(cfg.knn_max_windows + 1).count()
+    if probe > cfg.knn_max_windows:
+        raise ValueError(
+            f"exact kNN scoring collects the full embedding matrix to the "
+            f"driver; input exceeds knn_max_windows="
+            f"{cfg.knn_max_windows} windows. Use scorer='centroid' (the "
+            f"O(n) broadcast-sketch scale path) or raise knn_max_windows."
+        )
     matrix = _collect_matrix(windows, list(id_cols))
     bc = spark.sparkContext.broadcast(matrix)
     k, chunk = cfg.k_neighbors, cfg.scoring_chunk_size

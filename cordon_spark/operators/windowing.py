@@ -27,10 +27,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from cordon_spark.config import AnalysisConfig
+from cordon_spark.kernel import PY_WHITESPACE
 
-# ASCII-whitespace rstrip, identical to kernel.rstrip_text (Java regex
-# \s is ASCII-only; we pin the class explicitly on both engines)
-_RSTRIP_RE = r"[ \t\n\r\f\v]+$"
+# str.rstrip()-equivalent (Unicode whitespace) pinned to the exact
+# kernel.PY_WHITESPACE codepoint class, spelled as \uXXXX escapes so the
+# Java regex engine sees the identical set (Java \s is ASCII-only and
+# \p{IsWhite_Space} misses \x1c-\x1f, which Python strips).
+_RSTRIP_RE = "[" + "".join(f"\\u{ord(c):04x}" for c in PY_WHITESPACE) + "]+$"
 
 
 def with_stripped_text(df: DataFrame, text_col: str = "text") -> DataFrame:

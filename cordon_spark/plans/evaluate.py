@@ -14,7 +14,10 @@ join). All set algebra is joins/aggregations — no driver-side sets."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import random
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def flagged_turns(turns: DataFrame, blocks: DataFrame) -> DataFrame:
@@ -98,3 +101,122 @@ def template_metrics(
             float(stats["w_hit"]) / float(stats["w_total"]) if stats["w_total"] else 0.0
         ),
     }
+
+
+# ------------------------------------------------------------------ #
+# Run harness: seeded random-offset contiguous sampling + multi-run
+# mean/std aggregation (reference benchmark/evaluate.py:46-74,460-486).
+# ------------------------------------------------------------------ #
+def contiguous_sample(
+    turns: DataFrame, sample_size: int | None, seed: int
+) -> DataFrame:
+    """`sample_size` CONSECUTIVE turns starting at a seeded random offset
+    in the stable (conv_id, turn_idx) global order — the reference's
+    read_log_sample (evaluate.py:46-74: random start offset, then read N
+    contiguous lines).
+
+    Distributed spelling: no global window/zipWithIndex. Per-conversation
+    counts (a tiny aggregate: one row per conv) cumsum on the driver into
+    global start offsets; each conversation's overlap with
+    [offset, offset+N) becomes a local turn_idx range, applied as a
+    broadcast range join. Scales as O(n_convs) driver state.
+    """
+    if sample_size is None:
+        return turns
+    counts = (
+        turns.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("turn_idx").alias("lo"))
+        .orderBy("conv_id")
+        .collect()
+    )
+    total = sum(r["cnt"] for r in counts)
+    max_start = max(0, total - sample_size)
+    start = random.Random(seed).randint(0, max_start)
+    end = start + sample_size  # exclusive, in global positions
+    ranges = []
+    cum = 0
+    for r in counts:
+        c_start, c_end = cum, cum + r["cnt"]  # this conv's global span
+        cum = c_end
+        o_start, o_end = max(start, c_start), min(end, c_end)
+        if o_start < o_end:
+            base = r["lo"]  # turn_idx is contiguous from lo within a conv
+            ranges.append(
+                (r["conv_id"], base + (o_start - c_start), base + (o_end - c_start) - 1)
+            )
+    if not ranges:
+        return turns.filter(F.lit(False))
+    spark = turns.sparkSession
+    rdf = spark.createDataFrame(ranges, "conv_id string, r_lo long, r_hi long")
+    return (
+        turns.join(F.broadcast(rdf), on="conv_id", how="inner")
+        .filter(F.col("turn_idx").between(F.col("r_lo"), F.col("r_hi")))
+        .drop("r_lo", "r_hi")
+    )
+
+
+def evaluate_run(
+    spark: SparkSession,
+    turns: DataFrame,
+    cfg,
+    templates: list | None = None,
+    label_col: str = "is_anomaly",
+    template_col: str = "template_id",
+    rare_threshold: int = 100,
+) -> dict:
+    """One evaluation run: pipeline over the (sampled) turns, then the
+    full reference metric set (evaluate.py:272-369)."""
+    from cordon_spark.plans.pipeline import analyze_transcripts
+
+    res = analyze_transcripts(spark, turns, cfg, templates=templates)
+    try:
+        out = dict(turn_level_metrics(turns, res.blocks, label_col=label_col))
+        out.update(
+            template_metrics(
+                turns, res.blocks, template_col=template_col, rare_threshold=rare_threshold
+            )
+        )
+    finally:
+        res.unpersist()
+    return out
+
+
+def evaluate_runs(
+    spark: SparkSession,
+    turns: DataFrame,
+    cfg,
+    n_runs: int = 3,
+    sample_size: int | None = None,
+    seed: int = 42,
+    templates: list | None = None,
+    **metric_kwargs,
+) -> dict:
+    """Multi-run harness: each run samples a fresh seeded contiguous
+    slice, runs the pipeline, and the per-run metrics aggregate to
+    mean/std (reference aggregate_results, evaluate.py:460-486)."""
+    results = []
+    for i in range(n_runs):
+        sampled = contiguous_sample(turns, sample_size, seed + i)
+        results.append(evaluate_run(spark, sampled, cfg, templates=templates, **metric_kwargs))
+    return aggregate_results(results)
+
+
+_AGG_KEYS = [
+    ("template_recall", "template_coverage"),
+    ("rare_recall", "rare_template_recall"),
+    ("freq_weighted", "weighted_recall"),
+    ("traditional_f1", "f1"),
+    ("traditional_precision", "precision"),
+    ("traditional_recall", "recall"),
+]
+
+
+def aggregate_results(all_results: list[dict]) -> dict:
+    """Mean/std across runs, same output keys as the reference's
+    aggregate_results (evaluate.py:460-486)."""
+    out: dict = {"num_runs": len(all_results)}
+    for out_name, key in _AGG_KEYS:
+        vals = [float(r[key]) for r in all_results]
+        out[f"{out_name}_mean"] = float(np.mean(vals))
+        out[f"{out_name}_std"] = float(np.std(vals))
+    return out

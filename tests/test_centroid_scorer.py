@@ -78,6 +78,32 @@ def test_centroid_scores_partition_invariant(spark):
     assert np.allclose(outs[0], outs[1], atol=1e-9)
 
 
+def test_knn_scorer_guard_refuses_above_limit(spark):
+    """score_windows_knn collects the full matrix to the driver — it must
+    refuse above cfg.knn_max_windows with a message pointing at the
+    centroid scale path, so defaults can't OOM a driver at 10^12 turns."""
+    import pandas as pd
+    import pytest
+
+    from cordon_spark.config import AnalysisConfig
+    from cordon_spark.operators.scoring import score_windows_knn
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 8,
+            "window_id": range(8),
+            "embedding": [[1.0, 0.0]] * 8,
+        }
+    )
+    windows = spark.createDataFrame(pdf)
+    cfg = AnalysisConfig(knn_max_windows=5)
+    with pytest.raises(ValueError, match="centroid"):
+        score_windows_knn(spark, windows, cfg)
+    # at or below the limit it scores normally
+    ok = score_windows_knn(spark, windows, AnalysisConfig(knn_max_windows=8))
+    assert ok.count() == 8
+
+
 def test_centroid_without_templates_uses_global(spark, tiny_df):
     cfg = AnalysisConfig(scorer="centroid")
     res = analyze_transcripts(spark, tiny_df, cfg)  # no templates

@@ -20,6 +20,33 @@ def test_read_log_lines_one_indexed_raw(spark, tmp_path):
     ]
 
 
+def test_latin1_fallback_matches_reference_decode(spark, tmp_path):
+    """A file with invalid-UTF-8 bytes decodes the reference way: the
+    WHOLE file falls back to latin-1 (reader.py:41-45) — no U+FFFD
+    substitution (what spark.read.text would silently do)."""
+    p = tmp_path / "binary.log"
+    raw = b"clean ascii line\ncaf\xe9 latin-1 byte\nanother line\x80tail\n"
+    p.write_bytes(raw)
+
+    # the reference oracle: whole-file latin-1 decode, text-mode lines
+    expected = [
+        (i, line.decode("latin-1"))
+        for i, line in enumerate(raw.rstrip(b"\n").split(b"\n"), start=1)
+    ]
+    got = read_log_lines(spark, str(p)).orderBy("line_no").collect()
+    assert [(r.line_no, r.text) for r in got] == expected
+    assert got[1].text == "caf\xe9 latin-1 byte"  # é, not U+FFFD
+    assert "�" not in "".join(r.text for r in got)
+
+
+def test_utf8_file_not_latinized(spark, tmp_path):
+    """Valid UTF-8 (incl. multibyte) must decode as UTF-8, not latin-1."""
+    p = tmp_path / "utf8.log"
+    p.write_text("ascii line\nδοκιμή ユニコード\n", encoding="utf-8")
+    got = read_log_lines(spark, str(p)).orderBy("line_no").collect()
+    assert [r.text for r in got] == ["ascii line", "δοκιμή ユニコード"]
+
+
 def test_log_file_through_pipeline(spark, tmp_path):
     from cordon_spark.config import AnalysisConfig
     from cordon_spark.plans.pipeline import analyze_transcripts
@@ -86,6 +113,100 @@ def test_eval_metrics(spark):
     assert tm["n_templates"] == 3
     assert tm["template_coverage"] == pytest.approx(1 / 3)
     assert 0 < tm["weighted_recall"] < 1
+
+
+def test_contiguous_sample_seeded(spark):
+    """Reference read_log_sample semantics (evaluate.py:46-74): N
+    CONSECUTIVE turns from a seeded random offset; same seed -> same
+    slice; different seed -> (generally) different slice."""
+    from cordon_spark.plans.evaluate import contiguous_sample
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i:02d}" for i in range(10) for _ in range(20)],
+            "turn_idx": pd.Series(list(range(20)) * 10, dtype="int32"),
+            "text": [f"t{i}" for i in range(200)],
+        }
+    )
+    turns = spark.createDataFrame(pdf)
+    s1 = contiguous_sample(turns, 50, seed=7).orderBy("conv_id", "turn_idx").collect()
+    s2 = contiguous_sample(turns, 50, seed=7).orderBy("conv_id", "turn_idx").collect()
+    assert len(s1) == 50 and s1 == s2
+    # contiguity in the global (conv_id, turn_idx) order: positions form
+    # one unbroken run of the full ordering
+    full = [
+        (r.conv_id, r.turn_idx)
+        for r in turns.orderBy("conv_id", "turn_idx").collect()
+    ]
+    got = [(r.conv_id, r.turn_idx) for r in s1]
+    start = full.index(got[0])
+    assert full[start : start + 50] == got
+    # sample_size=None -> identity
+    assert contiguous_sample(turns, None, seed=7) is turns
+
+
+def test_evaluate_runs_aggregation(spark):
+    """Multi-run harness: reference aggregate_results keys, mean/std;
+    with no sampling every run is identical -> std == 0."""
+    from cordon_spark.config import AnalysisConfig
+    from cordon_spark.datagen import generate_transcripts
+    from cordon_spark.plans.evaluate import evaluate_runs
+
+    pdf, truth = generate_transcripts(n_convs=6, mean_turns=30, seed=3, with_edge_cases=False)
+    pdf["is_anomaly"] = False
+    for conv, spans in truth.anomalies.items():
+        for lo, hi in spans:
+            m = (pdf.conv_id == conv) & (pdf.turn_idx >= lo) & (pdf.turn_idx <= hi)
+            pdf.loc[m, "is_anomaly"] = True
+    pdf["template_id"] = pdf["text"].str.split().str[0]
+    turns = spark.createDataFrame(pdf)
+    cfg = AnalysisConfig(window_size=4, anomaly_percentile=0.15)
+    agg = evaluate_runs(spark, turns, cfg, n_runs=2, sample_size=None, seed=1,
+                        rare_threshold=10)
+    for key in (
+        "template_recall_mean", "template_recall_std", "rare_recall_mean",
+        "freq_weighted_mean", "traditional_f1_mean", "traditional_precision_std",
+        "traditional_recall_mean", "num_runs",
+    ):
+        assert key in agg, key
+    assert agg["num_runs"] == 2
+    assert agg["template_recall_std"] == 0.0  # identical runs, no sampling
+    assert 0.0 <= agg["traditional_f1_mean"] <= 1.0
+    # sampled runs actually vary the slice
+    agg_s = evaluate_runs(spark, turns, cfg, n_runs=2, sample_size=80, seed=1,
+                          rare_threshold=10)
+    assert agg_s["num_runs"] == 2
+
+
+def test_cli_llama_backend_mocked_e2e(spark, tmp_path):
+    """--backend llama-cpp end-to-end with a fake llama_cpp module
+    shipped to executor workers via addPyFile (the reference mocks the
+    same seam in tests/test_llama_cpp.py:13-47)."""
+    from cordon_spark.cli import main
+
+    fake_mod = tmp_path / "llama_cpp.py"
+    fake_mod.write_text(
+        "import hashlib\n"
+        "class Llama:\n"
+        "    def __init__(self, model_path, embedding, verbose):\n"
+        "        pass\n"
+        "    def create_embedding(self, text):\n"
+        "        h = hashlib.md5(text.encode()).digest()\n"
+        "        vec = [b / 255.0 for b in h[:8]]\n"
+        "        return {'data': [{'embedding': vec}]}\n"
+    )
+    spark.sparkContext.addPyFile(str(fake_mod))
+
+    lines = ["routine templated line ok"] * 30 + ["ANOMALY xyzzy"] + [
+        "routine templated line ok"
+    ] * 30
+    p = tmp_path / "l.log"
+    p.write_text("\n".join(lines) + "\n")
+    out = tmp_path / "lb.txt"
+    rc = main([str(p), "--backend", "llama-cpp", "--model-name", "fake.gguf",
+               "--output", str(out)])
+    assert rc == 0
+    assert "<block lines=" in out.read_text()
 
 
 def test_streaming_route_memory_sink(spark, tmp_path):

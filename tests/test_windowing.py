@@ -44,6 +44,41 @@ def test_rstrip_in_content_only(spark):
     assert got[0].content == "a\n  b"  # trailing stripped, leading kept
 
 
+def test_rstrip_unicode_whitespace_three_engines(spark):
+    """Reference reader.py:25 uses str.rstrip() = Unicode whitespace; the
+    kernel, the Spark regex, and the DuckDB rtrim char list must all
+    strip the identical codepoint set."""
+    import duckdb
+
+    from cordon_spark import kernel
+    from cordon_spark.entry_queries import _RTRIM
+
+    samples = [
+        "abc \xa0\t",            # nbsp between ASCII ws
+        "x ",               # line separator
+        "y　 ",         # ideographic + thin space
+        "keep​",            # zero-width space is NOT whitespace
+        "mid\xa0dle \x85",       # internal nbsp kept, trailing NEL stripped
+        "ctl\x1c\x1d\x1e\x1f",   # FS/GS/RS/US: Python strips, \p{IsWhite_Space} doesn't
+        "plain",
+        "",
+    ]
+    # 1. kernel == str.rstrip
+    for s in samples:
+        assert kernel.rstrip_text(s) == s.rstrip(), repr(s)
+    # 2. Spark regex == str.rstrip
+    cfg = AnalysisConfig(window_size=1)
+    pdf, df = _mk(spark, [("c1", i, s) for i, s in enumerate(samples)])
+    got = _windows_sorted(segment_windows(df, cfg))
+    assert [r.content for r in got] == [s.rstrip() for s in samples]
+    # 3. DuckDB rtrim == str.rstrip
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(s,) for s in samples])
+    rows = con.execute(f"SELECT {_RTRIM} FROM t").fetchall()
+    assert [r[0] for r in rows] == [s.rstrip() for s in samples]
+
+
 def test_single_turn_conversation(spark):
     cfg = AnalysisConfig(window_size=4)
     pdf, df = _mk(spark, [("c1", 0, "only")])
