@@ -805,6 +805,16 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Scale path of dedup_embedding_cosine: LSH-plane bucket ->
+    within-bucket cosine verify (rows-only; recall vs the exact operator
+    is asserted in tests/test_dedup.py)."""
+    ship_package(spark)
+    vecs = _normalized_vectors(spark, sf_dir)
+    pairs = D.embedding_lsh_pairs(vecs, threshold=COSINE_TAU, n_planes=8, n_probes=9)
+    return pairs.select("vec_a", "vec_b", r4(F.col("cosine"), "cosine"))
+
+
 def q_dedup_simhash(spark, sf_dir):
     ship_package(spark)
     return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=16)
@@ -838,6 +848,7 @@ QUERIES = {
     "parse_props": q_parse_props,
     "pipeline_text_blocks": q_pipeline_text_blocks,
     "ann_lsh": q_ann_lsh,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_simhash": q_dedup_simhash,
 }
 
@@ -867,5 +878,8 @@ ORACLE_SQL = {
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "time_window_rollup": SQL_TIME_WINDOW_ROLLUP,
     "parse_props": SQL_PARSE_PROPS,
-    # pipeline_text_blocks / ann_lsh / dedup_simhash: rows-only (no SQL)
+    # pipeline_text_blocks / ann_lsh / dedup_embedding_lsh /
+    # dedup_simhash: rows-only (no SQL oracle — LSH planes are
+    # md5-derived constants; the exact-operator twin IS their oracle,
+    # asserted in pytest)
 }

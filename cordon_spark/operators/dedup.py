@@ -62,7 +62,10 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 def _jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b)).cast("double")
-    return inter / (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b)))
+    union = F.size(a) + F.size(b) - F.size(F.array_intersect(a, b))
+    # two empty shingle sets: jaccard of empty sets is 0 (no near-dup),
+    # and ANSI mode would otherwise raise DIVIDE_BY_ZERO
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
 def ngram_jaccard_pairs(
@@ -220,6 +223,65 @@ def simhash_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def embedding_lsh_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 8,
+    n_probes: int = 9,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Embedding near-dup SCALE path: sign-plane LSH bucketing first,
+    exact cosine verification only within candidate buckets — the
+    composed operator the docstring of embedding_cosine_pairs names.
+
+    Build side emits each vector's own bucket; probe side emits the
+    bucket plus `n_probes - 1` bit-flip probes (least-confident planes
+    first, similarity.probe_buckets_col), so pairs split by one plane
+    are still candidates. Everything is linear in corpus size: bucket
+    keys are one JVM projection, candidates shuffle on the bucket key,
+    and verification touches only candidate pairs. Recall vs the exact
+    all-pairs operator is asserted in tests."""
+    from cordon_spark.operators.similarity import (
+        _hyperplanes,
+        lsh_bucket_col,
+        probe_buckets_col,
+    )
+
+    dim_row = vectors.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        return vectors.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long, cosine double"
+        )
+    planes = _hyperplanes(n_planes, int(dim_row["d"]))
+    build = vectors.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("v_b"),
+        lsh_bucket_col(vec_col, planes).alias("bucket"),
+    )
+    probe = vectors.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("v_a"),
+        F.explode(probe_buckets_col(vec_col, planes, n_probes)).alias("bucket"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v_a"), F.col("v_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cands = (
+        probe.join(build, on="bucket")
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .select(
+            F.least("vec_a", "vec_b").alias("vec_a"),
+            F.greatest("vec_a", "vec_b").alias("vec_b"),
+            dot.alias("cosine"),
+        )
+        .distinct()
+    )
+    return cands.filter(F.col("cosine") >= threshold)
+
+
 def embedding_cosine_pairs(
     vectors: DataFrame,
     threshold: float = 0.4,
@@ -228,7 +290,8 @@ def embedding_cosine_pairs(
 ) -> DataFrame:
     """Embedding near-dup: pairs with cosine similarity >= threshold.
     JVM-side dot product via zip_with + aggregate (vectors pre-normalized).
-    Exact O(n^2) — at scale pre-bucket with similarity.lsh_ann planes."""
+    Exact O(n^2) — the oracle for embedding_lsh_pairs, which is the
+    bucketed scale path."""
     a, b = vectors.alias("a"), vectors.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), lambda x, y: x * y),

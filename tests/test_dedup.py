@@ -110,3 +110,54 @@ def test_embedding_cosine_pairs(spark):
     )
     got = {(r.vec_a, r.vec_b): r.cosine for r in D.embedding_cosine_pairs(vecs, 0.9).collect()}
     assert set(got) == {(0, 1)} and abs(got[(0, 1)] - 1.0) < 1e-12
+
+
+def test_embedding_lsh_recall_vs_exact(spark):
+    """The bucketed scale path must recover (nearly) all exact cosine
+    near-dup pairs at fixed deterministic planes — the exact all-pairs
+    operator is its oracle."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = kernel.l2_normalize(rng.randn(40, 16))
+    # plant 20 near-dup partners: tiny perturbations of the first 20
+    near = kernel.l2_normalize(base[:20] + 0.05 * rng.randn(20, 16))
+    mat = np.vstack([base, near])
+    vecs = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(len(mat)), "v": [list(r) for r in mat]})
+    )
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in D.embedding_cosine_pairs(vecs, threshold=0.9, vec_col="v").collect()
+    }
+    assert len(exact) >= 20  # the planted pairs are found by the oracle
+    approx = {
+        (r.vec_a, r.vec_b)
+        for r in D.embedding_lsh_pairs(
+            vecs, threshold=0.9, n_planes=8, n_probes=9, vec_col="v"
+        ).collect()
+    }
+    assert approx <= exact  # verification step: no false positives ever
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9  # full hamming-1 probing at 8 planes, seed 7
+    # single-bucket recall is strictly harder; probing must not hurt
+    single = {
+        (r.vec_a, r.vec_b)
+        for r in D.embedding_lsh_pairs(
+            vecs, threshold=0.9, n_planes=8, n_probes=1, vec_col="v"
+        ).collect()
+    }
+    assert single <= approx
+
+
+def test_empty_docs_emit_no_shingles_no_pairs(spark):
+    """Two empty/whitespace docs must NOT pair as jaccard 1.0 (kernel
+    token_shingles emits no shingles for them)."""
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": ["", "   ", "real content here"]})
+    )
+    sh = docs.select(D.shingles_col(D.tokens_col("text"), 3).alias("sh")).collect()
+    assert [len(r.sh) for r in sh] == [0, 0, 1]
+    assert kernel.token_shingles(kernel.tokenize(""), 3) == []
+    assert D.minhash_lsh_pairs(docs, n=3).collect() == []
+    assert D.ngram_jaccard_pairs(docs, n=3, threshold=0.1).collect() == []
