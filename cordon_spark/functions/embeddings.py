@@ -42,18 +42,73 @@ def _hash_embed_udf(dim: int):
     return embed
 
 
+_truncation_warned = False
+
+
+def check_truncation_warning(texts: list[str], model, model_name: str) -> bool:
+    """Warn once when window contents likely exceed the model's token
+    limit (reference transformer.py:149-199): sample up to 10 windows,
+    and if avg tokens > 1.2 x max_seq_length emit the reference's
+    truncation warning with lines-that-fit / coverage guidance. Returns
+    True when the warning fired. Swallows tokenizer errors like the
+    reference (best-effort heuristic)."""
+    global _truncation_warned
+    if _truncation_warned or not texts:
+        return False
+    import warnings
+
+    try:
+        tokenizer = model.tokenizer
+        max_seq_length = model.max_seq_length
+        sample = [t or "" for t in texts[: min(10, len(texts))]]
+        token_counts = [
+            len(tokenizer.encode(t, add_special_tokens=True)) for t in sample
+        ]
+        avg_tokens = sum(token_counts) / len(token_counts)
+        max_tokens = max(token_counts)
+        if avg_tokens > max_seq_length * 1.2:
+            lines_in_window = len(sample[0].split("\n"))
+            tokens_per_line = avg_tokens / lines_in_window
+            lines_that_fit = int(max_seq_length / tokens_per_line)
+            coverage_pct = (lines_that_fit / lines_in_window) * 100
+            warnings.warn(
+                f"TOKEN TRUNCATION WARNING: windows contain ~{avg_tokens:.0f} "
+                f"tokens on average (max: {max_tokens}); model '{model_name}' "
+                f"has a {max_seq_length}-token limit. Only the first "
+                f"~{lines_that_fit} of {lines_in_window} lines per window are "
+                f"analyzed (~{coverage_pct:.0f}% coverage). Reduce "
+                f"--window-size to {lines_that_fit} or use a larger model.",
+                UserWarning,
+                stacklevel=2,
+            )
+            _truncation_warned = True
+            return True
+    except Exception:
+        pass
+    return False
+
+
 def _sentence_transformer_udf(model_name: str, batch_size: int):
     """Real transformer backend (transformer.py:99-147): model loaded once
-    per worker, encode() with normalize_embeddings=True."""
+    per worker, encode() with normalize_embeddings=True; the first batch
+    per worker runs the truncation heuristic (warning lands in executor
+    logs — the distributed analog of the reference's stderr warn-once)."""
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         from sentence_transformers import SentenceTransformer  # import-gated
 
+        from cordon_spark.functions.embeddings import check_truncation_warning
+
         model = SentenceTransformer(model_name)
+        first = True
         for s in batches:
+            texts = s.fillna("").tolist()
+            if first:
+                check_truncation_warning(texts, model, model_name)
+                first = False
             mat = model.encode(
-                s.fillna("").tolist(),
+                texts,
                 batch_size=batch_size,
                 convert_to_numpy=True,
                 normalize_embeddings=True,
@@ -108,6 +163,40 @@ def _remote_udf(model_name: str, api_base: str | None, api_key: str | None, time
     return embed
 
 
+DEFAULT_GGUF_REPO_ID = "second-state/All-MiniLM-L6-v2-Embedding-GGUF"
+DEFAULT_GGUF_FILENAME = "all-MiniLM-L6-v2-Q4_K_M.gguf"
+
+
+def resolve_gguf_model(model_path: str | None) -> str:
+    """Resolve a GGUF model path, auto-downloading the default model via
+    huggingface_hub when none is given (llama_cpp.py:68-95): missing
+    huggingface_hub and download failures map to RuntimeError with the
+    reference's manual-download guidance. Runs on the DRIVER before the
+    UDF ships, so executors only ever see a concrete local path (a
+    shared filesystem or --files distribution is assumed at cluster
+    scale)."""
+    if model_path:
+        return model_path
+    try:
+        from huggingface_hub import hf_hub_download  # import-gated
+    except ImportError as error:
+        raise RuntimeError(
+            "huggingface_hub is required for auto-downloading GGUF models. "
+            "Install with: pip install huggingface-hub"
+        ) from error
+    try:
+        return str(
+            hf_hub_download(repo_id=DEFAULT_GGUF_REPO_ID, filename=DEFAULT_GGUF_FILENAME)
+        )
+    except Exception as error:
+        raise RuntimeError(
+            f"Failed to download default GGUF model: {error}\n"
+            f"You can manually download from: "
+            f"https://huggingface.co/{DEFAULT_GGUF_REPO_ID}\n"
+            f"And specify path with: --model-name /path/to/{DEFAULT_GGUF_FILENAME}"
+        ) from error
+
+
 def llama_embed_batch(texts: list[str], model_path: str) -> np.ndarray:
     """llama-cpp backend batch (llama_cpp.py:45-66): per-text
     create_embedding + explicit L2 norm (:62-64). Module-level for
@@ -152,7 +241,11 @@ def create_embedder(cfg: AnalysisConfig) -> Callable[[DataFrame, str], DataFrame
     elif cfg.backend == "remote":
         udf = _remote_udf(cfg.model_name, cfg.api_base, cfg.api_key, cfg.request_timeout)
     elif cfg.backend == "llama-cpp":
-        udf = _llama_udf(cfg.model_name)
+        # model_name doubles as the GGUF path; the reference's default
+        # model ("hash-64" is our sandbox default sentinel) triggers the
+        # auto-download path (llama_cpp.py:68-95)
+        path = None if cfg.model_name in ("", "hash-64", None) else cfg.model_name
+        udf = _llama_udf(resolve_gguf_model(path))
     else:  # pragma: no cover - config validates
         raise ValueError(cfg.backend)
 

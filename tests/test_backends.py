@@ -83,4 +83,71 @@ def test_llama_batch_mocked(monkeypatch):
 def test_llama_factory():
     from cordon_spark.config import AnalysisConfig
 
-    assert callable(E.create_embedder(AnalysisConfig(backend="llama-cpp")))
+    cfg = AnalysisConfig(backend="llama-cpp", model_name="/models/x.gguf")
+    assert callable(E.create_embedder(cfg))
+
+
+def test_gguf_resolve_explicit_path_passthrough():
+    assert E.resolve_gguf_model("/models/y.gguf") == "/models/y.gguf"
+
+
+def test_gguf_autodownload_mocked(monkeypatch):
+    """Default model auto-download seam (reference llama_cpp.py:68-95):
+    mocked hf_hub_download returns a cached path; download failures and
+    a missing huggingface_hub both map to RuntimeError with manual
+    guidance."""
+    fake = types.ModuleType("huggingface_hub")
+    calls = {}
+
+    def hf_hub_download(repo_id, filename):
+        calls["args"] = (repo_id, filename)
+        return f"/cache/{filename}"
+
+    fake.hf_hub_download = hf_hub_download
+    monkeypatch.setitem(sys.modules, "huggingface_hub", fake)
+    got = E.resolve_gguf_model(None)
+    assert got == f"/cache/{E.DEFAULT_GGUF_FILENAME}"
+    assert calls["args"] == (E.DEFAULT_GGUF_REPO_ID, E.DEFAULT_GGUF_FILENAME)
+
+    def boom(repo_id, filename):
+        raise OSError("no network")
+
+    fake.hf_hub_download = boom
+    with pytest.raises(RuntimeError, match="manually download"):
+        E.resolve_gguf_model(None)
+
+
+def test_gguf_autodownload_requires_hub(monkeypatch):
+    monkeypatch.setitem(sys.modules, "huggingface_hub", None)
+    with pytest.raises(RuntimeError, match="huggingface_hub is required"):
+        E.resolve_gguf_model(None)
+
+
+def test_truncation_warning_heuristic():
+    """Reference transformer.py:149-199: avg tokens > 1.2 x max_seq ->
+    warn once with coverage guidance; short inputs stay silent."""
+    import warnings
+
+    class FakeTok:
+        def encode(self, text, add_special_tokens=True):
+            return text.split()  # 1 token per word
+
+    class FakeModel:
+        tokenizer = FakeTok()
+        max_seq_length = 10
+
+    E._truncation_warned = False
+    long_texts = [" ".join(["tok"] * 50) + "\nline2 here"] * 12
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert E.check_truncation_warning(long_texts, FakeModel(), "mini") is True
+        assert any("TRUNCATION" in str(x.message) for x in w)
+    # warn-once latch
+    assert E.check_truncation_warning(long_texts, FakeModel(), "mini") is False
+
+    E._truncation_warned = False
+    short = ["few tokens only"] * 5
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert E.check_truncation_warning(short, FakeModel(), "mini") is False
+        assert not w
