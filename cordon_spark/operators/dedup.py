@@ -108,39 +108,42 @@ def minhash_lsh_pairs(
     the DuckDB oracle reproduces it exactly. Scale: everything before
     verification is linear; candidates shuffle on (band, signature).
 
-    The whole signature is ONE whole-stage-codegen projection per doc
-    (nested higher-order functions: for each of the bands*rows hash fns,
-    array_min over the shingle set) — no explode, no crossJoin, no
-    pre-bucketing exchange. The earlier shingle x hash-fn crossJoin
-    spelling shuffled 16x the shingle rows through two aggregations."""
+    Plan shape (load-bearing, measured at sf0.1): the shingle array is
+    materialized ONCE per doc through the explode (Generate is a
+    projection-collapse barrier), then all bands*rows minhashes are
+    sixteen F.min aggregates in ONE map-side-combined groupBy — the
+    exchange carries one row per (doc, partition). Docs with no
+    shingles vanish at the explode (no band keys, kernel parity).
+    Two earlier spellings lose badly: a shingle x hash-fn crossJoin
+    shuffles 16x the shingle rows, and a nested higher-order-function
+    projection gets inlined by CollapseProject so the whole
+    tokenize+shingle pipeline re-evaluates per hash fn (~6x slower).
+    The aggregated exchange is also what lets AQE reuse one computation
+    for both sides of the self-join (ReusedExchange)."""
     nh = bands * rows
     sh = docs.select(
         F.col(id_col), shingles_col(tokens_col(text_col), n).alias("sh")
     )
-    # mhs[j] = min over shingles s of md5(f"{j}|{s}"); docs with no
-    # shingles emit no band keys (mhs of nulls -> filtered below)
-    mhs = F.transform(
-        F.sequence(F.lit(0), F.lit(nh - 1)),
-        lambda j: F.array_min(
-            F.transform(
-                F.col("sh"),
-                lambda s: F.md5(F.concat(j.cast("string"), F.lit("|"), s)),
+    exploded = sh.select(id_col, F.explode("sh").alias("s1"))
+    mins = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s1")))).alias(f"m{j}")
+            for j in range(nh)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                F.concat_ws(
+                    "|", *[f"m{b * rows + r}" for r in range(rows)]
+                ).alias("sig"),
             )
-        ),
+            for b in range(bands)
+        ]
     )
-    # band b's signature joins its `rows` consecutive minhashes in j-order
-    band_structs = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.cast("long").alias("band"),
-            F.array_join(F.slice(F.col("mhs"), b * rows + 1, rows), "|").alias("sig"),
-        ),
-    )
-    band_sigs = (
-        sh.filter(F.size("sh") > 0)
-        .withColumn("mhs", mhs)
-        .select(id_col, F.explode(band_structs).alias("bs"))
-        .select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    band_sigs = mins.select(id_col, F.explode(band_structs).alias("bs")).select(
+        id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
     a, b = band_sigs.alias("a"), band_sigs.alias("b")
     cands = (
@@ -155,8 +158,19 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    # verification touches CANDIDATE docs only: semi-join docs down to
+    # the (few) candidate ids before recomputing shingles, instead of
+    # re-shingling the whole corpus twice for the two pair endpoints
+    cand_ids = (
+        cands.select(F.col("doc_a").alias(id_col))
+        .union(cands.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh_cand = docs.join(F.broadcast(cand_ids), on=id_col, how="left_semi").select(
+        F.col(id_col), shingles_col(tokens_col(text_col), n).alias("sh")
+    )
+    sa = sh_cand.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh_cand.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     verified = (
         cands.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -244,8 +258,9 @@ def embedding_lsh_pairs(
     all-pairs operator is asserted in tests."""
     from cordon_spark.operators.similarity import (
         _hyperplanes,
-        lsh_bucket_col,
-        probe_buckets_col,
+        bucket_from_dots_col,
+        probes_from_dots_col,
+        with_lsh_dots,
     )
 
     dim_row = vectors.select(F.size(vec_col).alias("d")).first()
@@ -254,15 +269,22 @@ def embedding_lsh_pairs(
             [], "vec_a long, vec_b long, cosine double"
         )
     planes = _hyperplanes(n_planes, int(dim_row["d"]))
-    build = vectors.select(
-        F.col(id_col).alias("vec_b"),
-        F.col(vec_col).alias("v_b"),
-        lsh_bucket_col(vec_col, planes).alias("bucket"),
-    )
-    probe = vectors.select(
-        F.col(id_col).alias("vec_a"),
-        F.col(vec_col).alias("v_a"),
-        F.explode(probe_buckets_col(vec_col, planes, n_probes)).alias("bucket"),
+    # dots materialized once per row (Generate barrier) — the bucket and
+    # every probe key then read a cheap attribute instead of re-running
+    # all plane dot products per expression (similarity.with_lsh_dots)
+    build = with_lsh_dots(
+        vectors.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("v_b")),
+        "v_b",
+        planes,
+    ).select("vec_b", "v_b", bucket_from_dots_col("_dots", n_planes).alias("bucket"))
+    probe = with_lsh_dots(
+        vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("v_a")),
+        "v_a",
+        planes,
+    ).select(
+        "vec_a",
+        "v_a",
+        F.explode(probes_from_dots_col("_dots", n_planes, n_probes)).alias("bucket"),
     )
     dot = F.aggregate(
         F.zip_with(F.col("v_a"), F.col("v_b"), lambda x, y: x * y),

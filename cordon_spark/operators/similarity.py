@@ -85,8 +85,49 @@ def _plane_dots_col(vec_col: str, planes: np.ndarray):
 
 def lsh_bucket_col(vec_col: str, planes: np.ndarray):
     """Sign-bit bucket key as a JVM-side expression: sum of bit values
-    where dot(vec, plane_p) > 0."""
+    where dot(vec, plane_p) > 0. NOTE: referencing this expression more
+    than once in a plan re-evaluates every plane dot (CollapseProject
+    inlines it); for multi-use, materialize dots via with_lsh_dots."""
     return _bucket_from_dots(_plane_dots_col(vec_col, planes), planes.shape[0])
+
+
+def with_lsh_dots(df: DataFrame, vec_col: str, planes: np.ndarray, out: str = "_dots"):
+    """Materialize the plane-dots array ONCE per row behind a Generate
+    barrier (explode of a 1-element array). CollapseProject inlines
+    plain projections into every downstream reference — measured to
+    re-evaluate all plane dots per probe/bit expression (~8-64x) —
+    while Generate is a barrier, so downstream bucket/probe expressions
+    see a cheap attribute."""
+    return df.withColumn(out, F.explode(F.array(_plane_dots_col(vec_col, planes))))
+
+
+def bucket_from_dots_col(dots_col: str, n_planes: int):
+    return _bucket_from_dots(F.col(dots_col), n_planes)
+
+
+def probes_from_dots_col(dots_col: str, n_planes: int, n_probes: int):
+    """array<long> of probe bucket keys from a MATERIALIZED dots column:
+    own bucket first, then bit-flips of the least-confident planes
+    (smallest |dot|) — multi-probe LSH (Lv et al., VLDB'07)."""
+    n_probes = max(1, min(n_probes, n_planes + 1))
+    dots = F.col(dots_col)
+    base = _bucket_from_dots(dots, n_planes)
+    if n_probes == 1:
+        return F.array(base)
+    order = F.array_sort(
+        F.array(
+            *[
+                F.struct(F.abs(dots[p]).alias("a"), F.lit(p).alias("p"))
+                for p in range(n_planes)
+            ]
+        )
+    )
+    bits = F.array(*[F.lit(1 << p).cast("long") for p in range(n_planes)])
+    flips = F.transform(
+        F.slice(order, 1, n_probes - 1),
+        lambda s: base.bitwiseXOR(F.element_at(bits, s["p"] + 1)),
+    )
+    return F.concat(F.array(base), flips)
 
 
 def _bucket_from_dots(dots, n_planes: int):
@@ -99,12 +140,10 @@ def _bucket_from_dots(dots, n_planes: int):
 
 
 def probe_buckets_col(vec_col: str, planes: np.ndarray, n_probes: int):
-    """array<long> of `n_probes` bucket keys for multi-probe LSH: the
-    vector's own bucket plus bit-flip probes of the LEAST-CONFIDENT
-    planes (smallest |dot|) first — the classic multi-probe ordering
-    (Lv et al., VLDB'07): a near neighbor that lands across a plane the
-    query barely clears is recovered without extra tables. Bounds the
-    worst-case recall crater of unlucky single buckets."""
+    """array<long> of `n_probes` bucket keys for multi-probe LSH (own
+    bucket first, then bit-flips of the least-confident planes). NOTE:
+    single-use expression form — multi-use plans must go through
+    with_lsh_dots + probes_from_dots_col or the dots re-evaluate."""
     n_planes = planes.shape[0]
     n_probes = max(1, min(n_probes, n_planes + 1))
     dots = _plane_dots_col(vec_col, planes)
@@ -143,17 +182,28 @@ def lsh_ann(
     buckets (multi-probe, least-confident planes first). Equi-join on
     the bucket key — shuffle-free with a broadcast query side; recall
     vs brute_force_topk is asserted in tests (multi-probe bounds the
-    single-bucket worst case at scale)."""
+    single-bucket worst case at scale). Plane dots materialize once per
+    row (with_lsh_dots barrier) before fanning into bucket/probe keys."""
     planes = _hyperplanes(n_planes, dim)
-    qb = queries.select(
-        F.col(id_col).alias("qid"),
-        F.col(vec_col).alias("qv"),
-        F.explode(probe_buckets_col(vec_col, planes, n_probes)).alias("bucket"),
+    qb = (
+        with_lsh_dots(
+            queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")),
+            "qv",
+            planes,
+        )
+        .select(
+            "qid",
+            "qv",
+            F.explode(probes_from_dots_col("_dots", n_planes, n_probes)).alias("bucket"),
+        )
     )
-    cb = candidates.select(
-        F.col(id_col).alias("nid"),
-        F.col(vec_col).alias("nv"),
-        lsh_bucket_col(vec_col, planes).alias("bucket"),
+    cb = (
+        with_lsh_dots(
+            candidates.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")),
+            "nv",
+            planes,
+        )
+        .select("nid", "nv", bucket_from_dots_col("_dots", n_planes).alias("bucket"))
     )
     dist = F.greatest(F.lit(0.0), F.least(F.lit(2.0), 1.0 - _dot(F.col("qv"), F.col("nv"))))
     pairs = (

@@ -54,6 +54,108 @@ def route_stream(scored: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.StringType()),
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("session_end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_sum", T.DoubleType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = "start_us long, end_us long, n long, vsum double"
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """STREAMING gap sessionization via applyInPandasWithState — the
+    custom stateful operator the batch operators.events.sessionize
+    mirrors (same gap semantics): per user, events within `gap_seconds`
+    of the running session extend it; a larger gap (or state timeout at
+    the watermark) closes and EMITS the session.
+
+    State is O(1) per user (bounds, count, sum); the stream shuffles
+    once on the user key — the canonical keyed-state shape that holds at
+    any executor count. Timeout = event-time, so sessions close exactly
+    when the watermark passes their gap horizon; late rows beyond the
+    watermark are dropped by the engine."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+
+    def update(key, pdfs, state):
+        user = key[0]
+        if state.hasTimedOut:
+            start_us, end_us, n, vsum = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user],
+                    "session_start_us": [start_us],
+                    "session_end_us": [end_us],
+                    "n_events": [n],
+                    "value_sum": [vsum],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        ser = rows[ts_col]
+        if getattr(ser.dt, "tz", None) is not None:
+            ser = ser.dt.tz_localize(None)
+        us = (ser.astype("int64") // 1000).to_numpy()  # ns -> us
+        order = np.argsort(us, kind="stable")
+        us = us[order]
+        vals = rows["value"].to_numpy()[order]
+        if state.exists:
+            start_us, end_us, n, vsum = state.get
+        else:
+            start_us = end_us = n = vsum = None  # no open session yet
+        closed = []
+        for t, v in zip(us, vals):
+            if start_us is None:
+                start_us, end_us, n, vsum = int(t), int(t), 1, float(v)
+            elif t - end_us > gap_us:
+                closed.append((start_us, end_us, n, vsum))
+                start_us, end_us, n, vsum = int(t), int(t), 1, float(v)
+            else:
+                end_us = max(end_us, int(t))
+                n += 1
+                vsum += float(v)
+        state.update((int(start_us), int(end_us), int(n), float(vsum)))
+        # close the open session once the watermark passes its gap
+        state.setTimeoutTimestamp((end_us + gap_us) // 1000)  # ms
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user] * len(closed),
+                    "session_start_us": [c[0] for c in closed],
+                    "session_end_us": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "value_sum": [c[3] for c in closed],
+                }
+            )
+
+    # watermarks require TIMESTAMP (tz-aware); parquet NTZ columns cast up
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def windowed_anomaly_counts(
     routed: DataFrame, ts_col: str = "ts", window: str = "5 minutes", watermark: str = "10 minutes"
 ) -> DataFrame:

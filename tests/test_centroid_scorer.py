@@ -78,6 +78,33 @@ def test_centroid_scores_partition_invariant(spark):
     assert np.allclose(outs[0], outs[1], atol=1e-9)
 
 
+def test_centroid_tree_reduce_matches_flat_merge(spark):
+    """Above _TREE_FANIN input partitions the partial sums reduce
+    executor-side first (two-level treeAggregate shape); the resulting
+    sum/count maps must match the driver-only merge to float ulp."""
+    import pandas as pd
+
+    from cordon_spark.operators.scoring import _TREE_FANIN, template_centroids
+
+    rng = np.random.RandomState(3)
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "signature": [f"s{i % 7}" for i in range(n)],
+            "embedding": [list(v) for v in rng.randn(n, 8)],
+        }
+    )
+    base = spark.createDataFrame(pdf)
+    flat_sums, flat_cnts = template_centroids(base.repartition(4), "signature")
+    tree_sums, tree_cnts = template_centroids(
+        base.repartition(_TREE_FANIN + 36), "signature"
+    )
+    assert flat_cnts == tree_cnts
+    assert set(flat_sums) == set(tree_sums)
+    for sig in flat_sums:
+        assert np.allclose(flat_sums[sig], tree_sums[sig], atol=1e-9), sig
+
+
 def test_knn_scorer_guard_refuses_above_limit(spark):
     """score_windows_knn collects the full matrix to the driver — it must
     refuse above cfg.knn_max_windows with a message pointing at the

@@ -248,6 +248,76 @@ def test_streaming_route_memory_sink(spark, tmp_path):
     assert set(counts) <= {"anomalous", "routine"}
 
 
+def test_streaming_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState gap sessionization: closed sessions match
+    the batch operators.events.sessionize on the same data (open tail
+    sessions flush via event-time timeout as the watermark advances)."""
+    import datetime as dt
+
+    from cordon_spark.operators.events import sessionize
+    from cordon_spark.streaming.route import sessionize_stream
+
+    t0 = dt.datetime(2026, 1, 1)
+    gap = 60  # 1 minute
+    rows = []
+    eid = 0
+    for user in ("u1", "u2"):
+        # session A: 3 events 10s apart; session B after a 10-min gap
+        for k in range(3):
+            rows.append((f"e{eid}", user, t0 + dt.timedelta(seconds=10 * k), 1.5))
+            eid += 1
+        for k in range(2):
+            rows.append(
+                (f"e{eid}", user, t0 + dt.timedelta(seconds=600 + 10 * k), 2.0)
+            )
+            eid += 1
+    # sentinel far in the future advances the watermark so earlier
+    # sessions' timeouts fire and flush
+    rows.append(("sentinel", "u3", t0 + dt.timedelta(hours=6), 0.0))
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    from cordon_spark.datagen import write_parquet
+
+    # two batches: first the real events, then the watermark sentinel
+    write_parquet(pdf.iloc[:-1], str(src / "b0.parquet"))
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    out = sessionize_stream(stream, gap_seconds=gap, watermark="0 seconds")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_parquet(pdf.iloc[-1:], str(src / "b1.parquet"))
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT user_id, session_start_us, session_end_us, n_events, value_sum "
+            "FROM sessions_stream"
+        ).collect()
+    finally:
+        q.stop()
+
+    batch = sessionize(
+        spark.createDataFrame(pdf.iloc[:-1]), gap_seconds=gap
+    ).collect()
+    expect = {
+        (r.user_id, r.start_us, r.end_us, r.n_events, float(r.value_sum))
+        for r in batch
+    }
+    stream_set = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events, float(r.value_sum))
+        for r in got
+    }
+    assert expect <= stream_set  # all real sessions closed and emitted
+    assert len(stream_set - expect) <= 1  # at most the u3 sentinel session
+
+
 def test_cli_resume_across_processes(tmp_path):
     """--resume must work from a NEW process: run_id derives from a
     PYTHONHASHSEED-independent digest (kernel.stable_hash64), so the
