@@ -779,8 +779,10 @@ FROM events GROUP BY 1
 # ------------------------------------------------------------------ #
 def q_pipeline_text_blocks(spark, sf_dir):
     """Full pipeline with the hash-embedding backend over derived
-    transcripts (text -> embed -> score); exact parity vs the numpy
-    oracle is covered in pytest, not SQL."""
+    transcripts (text -> embed -> score -> threshold -> merge); the
+    hash embedding is md5-based, so the ENTIRE text pipeline has an
+    exact DuckDB oracle (SQL_PIPELINE_TEXT_BLOCKS) in addition to the
+    numpy-oracle parity in pytest."""
     ship_package(spark)
     from cordon_spark.plans.pipeline import analyze_transcripts
 
@@ -795,6 +797,55 @@ def q_pipeline_text_blocks(spark, sf_dir):
     )
 
 
+EMB_DIM = 64
+
+# The hash-embedding backend in SQL: token -> (bucket, sign) from md5
+# hex (identical ints: DuckDB ('0x'||hex)::UBIGINT == Python
+# int(hex, 16)), sparse signed counts -> dense 64-dim vector via a map
+# lookup, L2 normalize. Signed counts are +/-1 integers, exact in
+# float64 on both engines regardless of accumulation order.
+SQL_PIPELINE_TEXT_BLOCKS = f"""
+WITH t AS (SELECT 'c' || CAST(doc_id // 50 AS VARCHAR) AS conv_id, doc_id % 50 AS turn_idx,
+                  {_RTRIM} AS stx FROM documents),
+w AS (SELECT conv_id, turn_idx // {WS} AS window_id, min(turn_idx) AS start_idx,
+             max(turn_idx) AS end_idx,
+             string_agg(stx, chr(10) ORDER BY turn_idx) AS content
+      FROM t GROUP BY 1, 2),
+tok AS (SELECT conv_id, window_id,
+               unnest(list_filter(regexp_split_to_array(lower(content), '\\s+'), x -> x <> '')) AS tok
+        FROM w),
+feat AS (SELECT conv_id, window_id,
+                (('0x' || substr(md5(tok), 1, 8))::UBIGINT % {EMB_DIM})::INTEGER AS bucket,
+                CASE WHEN ('0x' || substr(md5(tok), 9, 1))::UBIGINT % 2 = 0
+                     THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END AS sgn
+         FROM tok),
+sparse AS (SELECT conv_id, window_id, bucket, sum(sgn) AS val FROM feat GROUP BY 1, 2, 3),
+vecm AS (SELECT conv_id, window_id,
+                map_from_entries(list(struct_pack(k := bucket, v := val))) AS m
+         FROM sparse GROUP BY 1, 2),
+vec0 AS (SELECT w.conv_id, w.window_id, w.start_idx, w.end_idx,
+                list_transform(generate_series(0, {EMB_DIM - 1}),
+                               d -> coalesce(vecm.m[d::INTEGER][1], 0.0)) AS v0
+         FROM w LEFT JOIN vecm USING (conv_id, window_id)),
+nrm0 AS (SELECT *, sqrt(list_dot_product(v0, v0)) AS nn FROM vec0),
+wvt AS (SELECT conv_id, window_id, start_idx, end_idx,
+              CASE WHEN nn > 0 THEN list_transform(v0, x -> x / nn) ELSE v0 END AS v
+       FROM nrm0),
+wd AS (SELECT a.conv_id AS qc, a.window_id AS qw, b.conv_id AS nc, b.window_id AS nw,
+              greatest(0.0, least(2.0, 1.0 - list_dot_product(a.v, b.v))) AS dist
+       FROM wvt a JOIN wvt b ON NOT (a.conv_id = b.conv_id AND a.window_id = b.window_id)),
+wr AS (SELECT qc, qw, dist, row_number() OVER (PARTITION BY qc, qw ORDER BY dist, nc, nw) AS rn FROM wd),
+wsc AS (SELECT qc AS conv_id, qw AS window_id, avg(dist) AS score FROM wr WHERE rn <= {K} GROUP BY 1, 2),
+scored AS (SELECT w.conv_id, w.window_id, w.start_idx, w.end_idx, wsc.score
+           FROM w JOIN wsc USING (conv_id, window_id)),
+thr AS (SELECT quantile_cont(score, {1 - P}) AS t FROM scored),
+sel AS (SELECT s.* FROM scored s, thr WHERE s.score >= thr.t),
+{_MERGE_TAIL}
+SELECT conv_id, start_idx, end_idx, n_windows,
+       floor(max_score*10000 + 0.5)/10000 AS max_score FROM blocks
+"""
+
+
 def q_ann_lsh(spark, sf_dir):
     ship_package(spark)
     vecs = _normalized_vectors(spark, sf_dir)
@@ -805,19 +856,107 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+
 def q_dedup_embedding_lsh(spark, sf_dir):
     """Scale path of dedup_embedding_cosine: LSH-plane bucket ->
-    within-bucket cosine verify (rows-only; recall vs the exact operator
-    is asserted in tests/test_dedup.py)."""
+    within-bucket cosine verify (hash-checked: the md5-derived planes
+    reproduce exactly in SQL; recall vs the exact operator is
+    additionally asserted in tests/test_dedup.py)."""
     ship_package(spark)
     vecs = _normalized_vectors(spark, sf_dir)
     pairs = D.embedding_lsh_pairs(vecs, threshold=COSINE_TAU, n_planes=8, n_probes=9)
     return pairs.select("vec_a", "vec_b", r4(F.col("cosine"), "cosine"))
 
 
+# The md5-derived hyperplanes (similarity._hyperplanes) in SQL:
+# planes[p][d] = (int(md5(f"lsh|{p}|{d}")[:8],16) / 0xFFFFFFFF)*2 - 1 —
+# DuckDB's hex cast and float64 division match Python exactly, so
+# bucket bits (and therefore LSH candidates) are engine-identical up to
+# a sign flip of a dot product within 1 ulp of 0 (never observed).
+LSH_COMMON_SQL = """
+pv AS (SELECT p.p, d.d,
+              (('0x' || substr(md5('lsh|' || p.p || '|' || d.d), 1, 8))::UBIGINT
+               / 4294967295.0) * 2.0 - 1.0 AS val
+       FROM generate_series(0, 7) p(p), generate_series(0, 63) d(d)),
+pl AS (SELECT p, list(val ORDER BY d) AS pl FROM pv GROUP BY p),
+e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+nr AS (SELECT vec_id, sqrt(list_dot_product(v0, v0)) AS nn, v0 FROM e0),
+nv AS (SELECT vec_id, CASE WHEN nn > 0 THEN list_transform(v0, x -> x / nn) ELSE v0 END AS v FROM nr),
+dots AS (SELECT nv.vec_id, pl.p, list_dot_product(nv.v, pl.pl) AS dot FROM nv, pl),
+base AS (SELECT vec_id, sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+         FROM dots GROUP BY vec_id)
+"""
+
+SQL_DEDUP_EMBEDDING_LSH = f"""
+WITH {LSH_COMMON_SQL.strip()},
+probes AS (
+  SELECT vec_id, bucket FROM base
+  UNION
+  SELECT b.vec_id, xor((b.bucket)::UBIGINT, (1::UBIGINT << p.p))::BIGINT AS bucket
+  FROM base b, generate_series(0, 7) p(p)),
+cand AS (SELECT DISTINCT least(pr.vec_id, bu.vec_id) AS vec_a, greatest(pr.vec_id, bu.vec_id) AS vec_b
+         FROM probes pr JOIN base bu ON bu.bucket = pr.bucket AND bu.vec_id <> pr.vec_id),
+cosv AS (SELECT cand.vec_a, cand.vec_b, list_dot_product(a.v, b.v) AS cosine
+         FROM cand JOIN nv a ON a.vec_id = cand.vec_a JOIN nv b ON b.vec_id = cand.vec_b)
+SELECT vec_a, vec_b, floor(cosine*10000 + 0.5)/10000 AS cosine
+FROM cosv WHERE cosine >= {COSINE_TAU}
+"""
+
+
+# Multi-probe ANN in SQL (mirrors lsh_ann's default n_probes=3: own
+# bucket + bit-flips of the 2 least-confident planes, ordered by
+# (|dot|, p) exactly like the Spark array_sort of (abs, p) structs).
+SQL_ANN_LSH = f"""
+WITH {{lsh_common}},
+qsel AS (SELECT vec_id FROM nv WHERE vec_id < {ANN_NQ}),
+flip_rank AS (SELECT d.vec_id, d.p,
+                     row_number() OVER (PARTITION BY d.vec_id ORDER BY abs(d.dot), d.p) AS rn
+              FROM dots d JOIN qsel USING (vec_id)),
+qprobes AS (
+  SELECT b.vec_id AS qid, b.bucket FROM base b JOIN qsel USING (vec_id)
+  UNION
+  SELECT f.vec_id AS qid, xor((b.bucket)::UBIGINT, (1::UBIGINT << f.p))::BIGINT AS bucket
+  FROM flip_rank f JOIN base b ON b.vec_id = f.vec_id WHERE f.rn <= 2),
+cand AS (SELECT DISTINCT q.qid, c.vec_id AS nid
+         FROM qprobes q JOIN base c ON c.bucket = q.bucket AND c.vec_id <> q.qid),
+dist AS (SELECT cand.qid, cand.nid,
+                greatest(0.0, least(2.0, 1.0 - list_dot_product(a.v, b.v))) AS dist
+         FROM cand JOIN nv a ON a.vec_id = cand.qid JOIN nv b ON b.vec_id = cand.nid),
+rk AS (SELECT qid, nid, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank FROM dist)
+SELECT qid, rank, nid, floor(dist*10000 + 0.5)/10000 AS dist FROM rk WHERE rank <= {ANN_K}
+""".replace("{lsh_common}", LSH_COMMON_SQL.strip())
+
+
+
 def q_dedup_simhash(spark, sf_dir):
     ship_package(spark)
     return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=16)
+
+
+# SimHash in SQL: h(tok) = md5 first 16 hex as UBIGINT (== Python
+# int(hex,16)); per-bit +/-1 accumulate, fingerprint bit b set iff
+# acc[b] > 0. The Spark side stores fp - 2^63 (signed long), i.e. the
+# same bit pattern with bit 63 flipped on EVERY doc — band equality and
+# xor-hamming are invariant to a uniform flip, so the oracle works on
+# the raw unsigned fingerprint.
+SQL_DEDUP_SIMHASH = f"""
+WITH {_TOKS_SQL},
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+hv AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM tok),
+bits AS (SELECT doc_id, g.b, sum(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+         FROM hv, generate_series(0, 63) g(b) GROUP BY 1, 2),
+fp0 AS (SELECT doc_id, sum(CASE WHEN acc > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS fph
+        FROM bits GROUP BY doc_id),
+fp AS (SELECT d.doc_id, coalesce(fp0.fph, 0)::UBIGINT AS fp
+       FROM documents d LEFT JOIN fp0 USING (doc_id)),
+banded AS (SELECT doc_id, fp, g.b AS band, (fp >> (g.b * 16)) & 65535 AS key
+           FROM fp, generate_series(0, 3) g(b)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp AS fp_a, b.fp AS fp_b
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, bit_count(xor(fp_a, fp_b))::INTEGER AS hamming
+FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 16
+"""
 
 
 QUERIES = {
@@ -878,8 +1017,12 @@ ORACLE_SQL = {
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "time_window_rollup": SQL_TIME_WINDOW_ROLLUP,
     "parse_props": SQL_PARSE_PROPS,
-    # pipeline_text_blocks / ann_lsh / dedup_embedding_lsh /
-    # dedup_simhash: rows-only (no SQL oracle — LSH planes are
-    # md5-derived constants; the exact-operator twin IS their oracle,
-    # asserted in pytest)
+    "pipeline_text_blocks": SQL_PIPELINE_TEXT_BLOCKS,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "ann_lsh": SQL_ANN_LSH,
+    "dedup_embedding_lsh": SQL_DEDUP_EMBEDDING_LSH,
+    # every queries() entry now has an exact DuckDB oracle: the
+    # md5-derived hash embedding, simhash bits, and LSH planes all
+    # reproduce bit-identically in SQL (hex-cast parity), so even the
+    # "approximate" operators are hash-checked end to end
 }
