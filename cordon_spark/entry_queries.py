@@ -857,6 +857,22 @@ def q_ann_lsh(spark, sf_dir):
 
 
 
+def q_ivf_ann(spark, sf_dir):
+    """IVF approximate top-k (the brief's 'IVF variant as the scale
+    path'): deterministic k-means inverted lists + n_probe nearest
+    clusters per query. Rows-only by nature: the iterative k-means fit
+    is not SQL-expressible (the driver's documented carve-out); recall
+    vs brute force + full-probe==exact equivalence are asserted in
+    tests/test_similarity.py."""
+    ship_package(spark)
+    vecs = _normalized_vectors(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < ANN_NQ)
+    out = S.ivf_ann(queries, vecs, k=ANN_K, n_clusters=16, n_probe=2, iters=3)
+    return out.select(
+        "qid", F.col("rank").cast("long").alias("rank"), "nid", r4(F.col("dist"), "dist")
+    )
+
+
 def q_dedup_embedding_lsh(spark, sf_dir):
     """Scale path of dedup_embedding_cosine: LSH-plane bucket ->
     within-bucket cosine verify (hash-checked: the md5-derived planes
@@ -987,6 +1003,7 @@ QUERIES = {
     "parse_props": q_parse_props,
     "pipeline_text_blocks": q_pipeline_text_blocks,
     "ann_lsh": q_ann_lsh,
+    "ivf_ann": q_ivf_ann,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_simhash": q_dedup_simhash,
 }

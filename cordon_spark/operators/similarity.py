@@ -61,6 +61,168 @@ def brute_force_topk(
     )
 
 
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> np.ndarray:
+    """Deterministic Lloyd k-means for the IVF coarse quantizer.
+
+    Init: the k vectors with the smallest md5(id) (seeded, engine- and
+    partitioning-independent). Each iteration is ONE distributed pass:
+    mapInPandas computes per-partition (cluster, count, sum) partials
+    against the broadcast centroids (numpy argmax over k dots), and the
+    tiny k x dim partials merge on the driver — the same
+    map-side-partial shape as scoring.template_centroids, so the
+    shuffle payload is O(k * dim) per partition at any corpus size.
+    Empty clusters keep their previous centroid."""
+    spark = vectors.sparkSession
+    # seed selection is fully distributed: JVM md5 rank + limit(k)
+    init_pdf = (
+        vectors.select(id_col, vec_col)
+        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h")
+        .limit(k)
+        .select(id_col, vec_col)
+        .toPandas()
+        .sort_values(id_col)
+    )
+    centroids = np.array(init_pdf[vec_col].tolist(), dtype=np.float64)
+    k = centroids.shape[0]  # corpus smaller than k -> fewer clusters
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("cid", T.ArrayType(T.LongType())),
+            T.StructField("cnt", T.ArrayType(T.LongType())),
+            T.StructField("flat", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(centroids)
+
+        def partials(batches):
+            import pandas as pd
+
+            cen = bc.value
+            sums = np.zeros_like(cen)
+            cnts = np.zeros(cen.shape[0], dtype=np.int64)
+            seen = False
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                seen = True
+                mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                assign = np.argmax(mat @ cen.T, axis=1)
+                np.add.at(sums, assign, mat)
+                cnts += np.bincount(assign, minlength=cen.shape[0])
+            if not seen:
+                yield pd.DataFrame({"cid": [], "cnt": [], "flat": []})
+                return
+            yield pd.DataFrame(
+                {
+                    "cid": [list(range(cen.shape[0]))],
+                    "cnt": [cnts.tolist()],
+                    "flat": [sums.ravel().tolist()],
+                }
+            )
+
+        part = vectors.select(vec_col).mapInPandas(partials, schema).toPandas()
+        sums = np.zeros_like(centroids)
+        cnts = np.zeros(k, dtype=np.int64)
+        for _, row in part.iterrows():
+            if not len(row["cid"]):
+                continue
+            sums += np.asarray(row["flat"], dtype=np.float64).reshape(k, -1)
+            cnts += np.asarray(row["cnt"], dtype=np.int64)
+        nz = cnts > 0
+        centroids = centroids.copy()
+        centroids[nz] = sums[nz] / cnts[nz, None]
+        # cosine IVF: keep centroids on the unit sphere
+        norms = np.linalg.norm(centroids, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        centroids = centroids / norms
+        bc.destroy()
+    return centroids
+
+
+def ivf_ann(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """IVF approximate top-k (the brief's 'IVF variant as the scale
+    path'): a deterministic k-means coarse quantizer partitions the
+    corpus into `n_clusters` inverted lists; each query searches only
+    its `n_probe` nearest clusters. Candidates shuffle once on the
+    cluster id; the (small) probe set is broadcast. Recall vs
+    brute_force_topk asserted in tests, monotone in n_probe."""
+    centroids = kmeans_fit(candidates, k=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col)
+    n_probe = max(1, min(n_probe, centroids.shape[0]))
+
+    cen_arrs = [F.array(*[F.lit(float(x)) for x in centroids[c]]) for c in range(centroids.shape[0])]
+    dots_expr = F.array(*[_dot(F.col("nv"), a) for a in cen_arrs])
+    cb = (
+        candidates.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+        .withColumn("_d", F.explode(F.array(dots_expr)))  # Generate barrier
+        .withColumn("cluster", F.expr("array_position(_d, array_max(_d)) - 1"))
+        .drop("_d")
+    )
+    qdots_expr = F.array(*[_dot(F.col("qv"), a) for a in cen_arrs])
+    # top-n_probe clusters per query: sort (dot desc) via struct sort on
+    # (-dot, c), slice, explode
+    qb = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .withColumn("_d", F.explode(F.array(qdots_expr)))
+        .withColumn(
+            "cluster",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.array_sort(
+                            F.array(
+                                *[
+                                    F.struct(
+                                        (-F.col("_d")[c]).alias("nd"),
+                                        F.lit(c).cast("long").alias("c"),
+                                    )
+                                    for c in range(centroids.shape[0])
+                                ]
+                            )
+                        ),
+                        1,
+                        n_probe,
+                    ),
+                    lambda s: s["c"],
+                )
+            ),
+        )
+        .drop("_d")
+    )
+    dist = F.greatest(F.lit(0.0), F.least(F.lit(2.0), 1.0 - _dot(F.col("qv"), F.col("nv"))))
+    pairs = (
+        cb.join(F.broadcast(qb), on="cluster")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", dist.alias("dist"))
+        .distinct()
+    )
+    w = W.partitionBy("qid").orderBy(F.col("dist"), F.col("nid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "nid", "dist")
+    )
+
+
 def _hyperplanes(n_planes: int, dim: int, seed: str = "lsh") -> np.ndarray:
     """Deterministic pseudo-random hyperplanes from md5((seed,p,d)) —
     reproducible across engines/sessions with no RNG state."""

@@ -104,13 +104,29 @@ def bench_data(n_turns: int) -> str:
 
 
 def run_leg(data: str, exec_cores: int, n_execs: int, trials: int) -> list[dict]:
+    """One cluster-size leg, launched EXACTLY like the north rule's
+    deployment: `spark-submit --py-files cordon_spark.zip driver.py`
+    against the standalone master (executors import the package from
+    the shipped zip, not the repo path)."""
     cores_max = exec_cores * n_execs
     code = LEG_CODE.format(
         root=ROOT, master=MASTER_URL, parts=max(cores_max, 8),
         exec_cores=exec_cores, cores_max=cores_max, data=data, trials=trials,
     )
+    sys.path.insert(0, str(ROOT))
+    from cordon_spark.session import package_zip
+
+    zip_path = package_zip()
+    driver = Path("/tmp/scaling_leg_driver.py")
+    driver.write_text(code)
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True,
+        [
+            f"{SPARK_HOME}/bin/spark-submit",
+            "--master", MASTER_URL,
+            "--py-files", zip_path,
+            str(driver),
+        ],
+        capture_output=True, text=True,
         timeout=1500, cwd=str(ROOT), env=dict(os.environ),
     )
     lines = [l for l in out.stdout.splitlines() if l.startswith("LEG_RESULT ")]
@@ -145,8 +161,10 @@ def main() -> None:
         "",
         "Job = end-to-end parse + window + embed + centroid-score + threshold",
         "+ merge + route pipeline (the BASELINE.json metric), on a REAL",
-        "multi-executor Spark standalone cluster on this host, steady-state",
-        f"(full-width warmup, best of {trials} trials per leg).",
+        "multi-executor Spark standalone cluster on this host, each leg",
+        "launched with `spark-submit --py-files cordon_spark.zip` (the north",
+        "rule's deployment: executors import the package from the shipped",
+        f"zip), steady-state (full-width warmup, best of {trials} trials per leg).",
         "",
         "| cluster size | pipeline sec | turns/sec |",
         "|---|---|---|",

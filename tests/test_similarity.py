@@ -71,6 +71,40 @@ def test_lsh_multiprobe_recall_floor(spark):
     assert recall(5) > r1
 
 
+def test_ivf_ann_recall_and_probe_monotonicity(spark):
+    """IVF scale path: deterministic k-means inverted lists + n_probe
+    nearest clusters per query. Recall floor at fixed seed; more probes
+    never lose candidates; full probing == brute force."""
+    df, _ = _vec_df(spark, n=200, dim=16, seed=2)
+    queries = df.filter("vec_id < 15")
+    exact = {
+        (r.qid, r.nid) for r in S.brute_force_topk(queries, df, k=5).collect()
+    }
+
+    def recall(n_probe, n_clusters=8):
+        approx = {
+            (r.qid, r.nid)
+            for r in S.ivf_ann(
+                queries, df, k=5, n_clusters=n_clusters, n_probe=n_probe, iters=3
+            ).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    r1, r2 = recall(1), recall(2)
+    assert r1 <= r2
+    assert r2 >= 0.5  # 2 of 8 clusters probed: deterministic floor at seed 2
+    assert recall(8) == 1.0  # probing every cluster IS brute force
+
+
+def test_kmeans_fit_deterministic_and_partition_invariant(spark):
+    df, _ = _vec_df(spark, n=120, dim=8, seed=4)
+    c1 = S.kmeans_fit(df.repartition(2), k=6, iters=3)
+    c2 = S.kmeans_fit(df.repartition(16), k=6, iters=3)
+    assert c1.shape == (6, 8)
+    assert np.allclose(c1, c2, atol=1e-9)  # partial-merge order only moves ulps
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)  # unit sphere
+
+
 def test_probe_buckets_structure(spark):
     """probe list: own bucket first, then distinct hamming-1 flips."""
     import pandas as pd
