@@ -1,12 +1,16 @@
 """Streaming variants of the parse -> score -> route stages.
 
 The reference is batch-only; this module is the graft's streaming
-extension for continuously-arriving transcript turns: score each turn
-against FROZEN broadcast state (centroids built by a batch run), route
-by a fixed threshold to two sinks, and maintain watermarked per-window
-anomaly counts. Stateless scoring + static broadcast state means the
-streaming plan is a pure map — no state store needed; late data only
-affects the windowed counts, which carry the watermark."""
+extension for continuously-arriving transcript turns:
+
+  * stateless: score turns against FROZEN broadcast state (centroids
+    built by a batch run) and route by a fixed threshold — pure maps,
+    no state store; watermarked windowed anomaly counts for late data.
+  * stateful (applyInPandasWithState): gap sessionization
+    (sessionize_stream) and tumbling count-window assembly
+    (window_stream), both keyed O(1)-ish state with event-time-timeout
+    flush — composed into pipeline_stream, the full window -> embed ->
+    score -> route pipeline over a live stream."""
 
 from __future__ import annotations
 
@@ -154,6 +158,170 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("window_id", T.LongType()),
+        T.StructField("start_idx", T.IntegerType()),
+        T.StructField("end_idx", T.IntegerType()),
+        T.StructField("n_turns", T.LongType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+
+_WINDOW_STATE_SCHEMA = "idxs array<int>, texts array<string>"
+
+
+def window_stream(
+    turns: DataFrame,
+    window_size: int = 4,
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """STREAMING tumbling count-window assembly — the stateful analog of
+    operators.windowing.segment_windows for continuously-arriving turns
+    (same output schema/content semantics: rstripped texts joined by
+    newline in turn order, final partial window kept).
+
+    State per conv_id is just the not-yet-complete turns (bounded by
+    window_size per in-flight window plus any out-of-order stragglers);
+    a window emits the moment all `window_size` member turns have
+    arrived, in any arrival order. The event-time timeout flushes
+    partial tails once the watermark passes — exactly the batch
+    semantics of keeping the final short window."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        from cordon_spark import kernel
+
+        conv = key[0]
+
+        def emit(groups):
+            if not groups:
+                return
+            out = {k: [] for k in ("conv_id", "window_id", "start_idx",
+                                   "end_idx", "n_turns", "content")}
+            for wid, members in groups:
+                members.sort()
+                out["conv_id"].append(conv)
+                out["window_id"].append(wid)
+                out["start_idx"].append(members[0][0])
+                out["end_idx"].append(members[-1][0])
+                out["n_turns"].append(len(members))
+                out["content"].append("\n".join(t for _, t in members))
+            return pd.DataFrame(out)
+
+        if state.hasTimedOut:
+            idxs, texts = state.get
+            state.remove()
+            groups: dict = {}
+            for i, tx in zip(idxs, texts):
+                groups.setdefault(i // window_size, []).append((i, tx))
+            df = emit(sorted(groups.items()))
+            if df is not None:
+                yield df
+            return
+
+        idxs, texts = (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
+        max_ms = 0
+        for pdf in pdfs:
+            ser = pdf[ts_col]
+            if getattr(ser.dt, "tz", None) is not None:
+                ser = ser.dt.tz_localize(None)
+            if len(ser):
+                max_ms = max(max_ms, int(ser.astype("int64").max() // 1_000_000))
+            idxs.extend(int(i) for i in pdf["turn_idx"])
+            texts.extend(kernel.rstrip_text(t) for t in pdf["text"])
+        groups: dict = {}
+        for i, tx in zip(idxs, texts):
+            groups.setdefault(i // window_size, []).append((i, tx))
+        complete = sorted(
+            (w, m) for w, m in groups.items() if len(m) >= window_size
+        )
+        df = emit(complete)
+        rest_i, rest_t = [], []
+        for w, m in groups.items():
+            if len(m) < window_size:
+                for i, tx in m:
+                    rest_i.append(i)
+                    rest_t.append(tx)
+        if rest_i:
+            state.update((rest_i, rest_t))
+            # flush at the next watermark move (timeout must sit beyond
+            # the current watermark or the engine rejects it)
+            state.setTimeoutTimestamp(
+                max(max_ms + 1, state.getCurrentWatermarkMs() + 1)
+            )
+        elif state.exists:
+            state.remove()
+        if df is not None:
+            yield df
+
+    turns = turns.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        turns.withWatermark(ts_col, watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=WINDOW_SCHEMA,
+            stateStructType=_WINDOW_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def score_windows_streaming(
+    windows: DataFrame,
+    centroid_map: dict,
+    default: np.ndarray,
+    cfg: AnalysisConfig,
+    signature_col: str | None = None,
+) -> DataFrame:
+    """Embed window contents and score against FROZEN centroid state,
+    spelled as mapInPandas: the scalar-pandas-UDF form hits a Spark
+    row-representation cast bug (GenericInternalRow/ColumnarBatchRow ->
+    UnsafeRow) when it directly consumes applyInPandasWithState output;
+    mapInPandas takes the Arrow path that accepts any row form."""
+    spark = windows.sparkSession
+    bc = spark.sparkContext.broadcast((dict(centroid_map), np.asarray(default)))
+    dim = cfg.embedding_dim
+    schema = T.StructType(windows.schema.fields + [T.StructField("score", T.DoubleType())])
+
+    def score_batches(batches):
+        from cordon_spark import kernel
+
+        cmap, dflt = bc.value
+        for pdf in batches:
+            emb = kernel.embed_texts(pdf["content"].fillna("").tolist(), dim)
+            sigs = (
+                pdf[signature_col].fillna("?").tolist()
+                if signature_col
+                else ["?"] * len(pdf)
+            )
+            yield pdf.assign(score=kernel.centroid_scores(emb, sigs, cmap, dflt))
+
+    return windows.mapInPandas(score_batches, schema)
+
+
+def pipeline_stream(
+    turns: DataFrame,
+    centroid_map: dict,
+    default: np.ndarray,
+    cfg: AnalysisConfig,
+    threshold: float,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """The FULL pipeline on a continuous turn stream: stateful window
+    assembly (window_stream) -> embed + cosine score against FROZEN
+    centroid state (built by a batch run) -> threshold route. One keyed
+    shuffle (conv_id) + pure maps; the percentile threshold necessarily
+    comes from the batch side — a stream cannot sort globally."""
+    windows = window_stream(turns, cfg.window_size, watermark=watermark)
+    scored = score_windows_streaming(windows, centroid_map, default, cfg)
+    return route_stream(scored, threshold)
 
 
 def windowed_anomaly_counts(

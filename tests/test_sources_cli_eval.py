@@ -318,6 +318,135 @@ def test_streaming_sessionize_stateful(spark, tmp_path):
     assert len(stream_set - expect) <= 1  # at most the u3 sentinel session
 
 
+def test_streaming_window_assembly_matches_batch(spark, tmp_path):
+    """window_stream (applyInPandasWithState) must reproduce the batch
+    segment_windows output — full windows emit as soon as complete
+    (any arrival order across micro-batches), partial tails flush via
+    the event-time timeout."""
+    import datetime as dt
+
+    from cordon_spark.config import AnalysisConfig
+    from cordon_spark.datagen import write_parquet
+    from cordon_spark.operators.windowing import segment_windows
+    from cordon_spark.streaming.route import window_stream
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    for c, n_turns in (("ca", 10), ("cb", 7)):  # 7 -> partial tail window
+        for i in range(n_turns):
+            rows.append((c, i, f"turn {c} {i}  ", t0 + dt.timedelta(seconds=i)))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text", "ts"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+
+    src = tmp_path / "w_src"
+    src.mkdir()
+    # batch 1: even turns; batch 2: odd turns (out of order); batch 3:
+    # far-future sentinel advances the watermark to flush partials
+    write_parquet(pdf[pdf.turn_idx % 2 == 0], str(src / "b0.parquet"))
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    # watermark must cover the cross-batch out-of-orderness (odd turns
+    # arrive a micro-batch after the evens); the far-future sentinel
+    # still pushes it past every tail window's timeout
+    out = window_stream(stream, window_size=4, watermark="1 hour")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("windows_stream")
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_parquet(pdf[pdf.turn_idx % 2 == 1], str(src / "b1.parquet"))
+        q.processAllAvailable()
+        sentinel = pd.DataFrame(
+            [("cz", 0, "x", t0 + dt.timedelta(hours=9))],
+            columns=["conv_id", "turn_idx", "text", "ts"],
+        )
+        sentinel["turn_idx"] = sentinel["turn_idx"].astype("int32")
+        write_parquet(sentinel, str(src / "b2.parquet"))
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT conv_id, window_id, start_idx, end_idx, n_turns, content "
+            "FROM windows_stream WHERE conv_id != 'cz'"
+        ).collect()
+    finally:
+        q.stop()
+
+    batch = segment_windows(
+        spark.createDataFrame(pdf), AnalysisConfig(window_size=4)
+    ).collect()
+    expect = {
+        (r.conv_id, r.window_id, r.start_idx, r.end_idx, r.n_turns, r.content)
+        for r in batch
+    }
+    stream_set = {
+        (r.conv_id, r.window_id, r.start_idx, r.end_idx, r.n_turns, r.content)
+        for r in got
+    }
+    assert stream_set == expect
+
+
+def test_streaming_full_pipeline(spark, tmp_path):
+    """pipeline_stream: window assembly + frozen-state scoring + route
+    on a live stream; scores match the batch kernel on identical window
+    contents."""
+    import datetime as dt
+
+    from cordon_spark import kernel
+    from cordon_spark.config import AnalysisConfig
+    from cordon_spark.datagen import write_parquet
+    from cordon_spark.streaming.route import pipeline_stream
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [("cv", i, f"steady line {i % 3}", t0 + dt.timedelta(seconds=i)) for i in range(16)]
+    rows[8] = ("cv", 8, "TOTALLY anomalous xyzzy", rows[8][3])
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text", "ts"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    sentinel = pd.DataFrame(
+        [("zz", 0, "x", t0 + dt.timedelta(hours=9))],
+        columns=["conv_id", "turn_idx", "text", "ts"],
+    )
+    sentinel["turn_idx"] = sentinel["turn_idx"].astype("int32")
+
+    src = tmp_path / "p_src"
+    src.mkdir()
+    write_parquet(pdf, str(src / "b0.parquet"))
+
+    cfg = AnalysisConfig(scorer="centroid")
+    centroid = np.ones(cfg.embedding_dim) / np.sqrt(cfg.embedding_dim)
+    cmap = {"?": centroid}
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    routed = pipeline_stream(stream, cmap, centroid, cfg, threshold=0.9, watermark="1 hour")
+    q = (
+        routed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pipe_stream")
+        .option("checkpointLocation", str(tmp_path / "pckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_parquet(sentinel, str(src / "b1.parquet"))
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT conv_id, window_id, content, score, sink FROM pipe_stream "
+            "WHERE conv_id = 'cv'"
+        ).collect()
+    finally:
+        q.stop()
+
+    assert len(got) == 4  # 16 turns / window_size 4
+    # scores match the shared kernel on the same contents
+    for r in got:
+        emb = kernel.embed_texts([r.content], cfg.embedding_dim)
+        exp = kernel.centroid_scores(emb, ["?"], cmap, centroid)[0]
+        assert abs(r.score - exp) < 1e-12
+    assert {r.sink for r in got} <= {"anomalous", "routine"}
+
+
 def test_cli_resume_across_processes(tmp_path):
     """--resume must work from a NEW process: run_id derives from a
     PYTHONHASHSEED-independent digest (kernel.stable_hash64), so the
