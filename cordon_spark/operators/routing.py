@@ -49,6 +49,45 @@ def route_turns(
     )
 
 
+def route_turns_windowed(
+    turns: DataFrame,
+    significant: DataFrame,
+    window_size: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Scale-path router: EQUI-join on (conv_id, window_id) against the
+    significant-window set instead of broadcasting merged blocks.
+
+    Identical output to route_turns by construction: merged blocks are
+    exactly the union of significant windows' [start_idx, end_idx]
+    spans, and windows tile turn_idx contiguously — so `turn inside some
+    block` <=> `turn's own window (turn_idx // window_size) is
+    significant`. Use this when the anomalous fraction of a 10^12-turn
+    input makes the block set too large to broadcast (p=0.02 at 10^12
+    turns is ~10^10 block rows); the equi-join is a plain shuffle hash
+    join on fine-grained keys — skew-safe, no driver/executor-memory
+    ceiling. route_turns (broadcast range join, zero shuffle of the big
+    side) stays the fast path while blocks fit a broadcast."""
+    sig = significant.select("conv_id", "window_id").distinct().alias("s")
+    t = turns.withColumn(
+        "_wid", (F.col("turn_idx") / F.lit(window_size)).cast("long")
+    ).alias("t")
+    joined = t.join(
+        sig,
+        (F.col("t.conv_id") == F.col("s.conv_id"))
+        & (F.col("t._wid") == F.col("s.window_id")),
+        "left",
+    )
+    return joined.select(
+        F.col("t.conv_id").alias("conv_id"),
+        F.col("t.turn_idx").alias("turn_idx"),
+        F.col(f"t.{text_col}").alias("text"),
+        F.when(F.col("s.window_id").isNotNull(), F.lit("anomalous"))
+        .otherwise(F.lit("routine"))
+        .alias("sink"),
+    )
+
+
 def split_sinks(routed: DataFrame) -> tuple[DataFrame, DataFrame]:
     anomalous = routed.filter(F.col("sink") == "anomalous")
     routine = routed.filter(F.col("sink") == "routine")

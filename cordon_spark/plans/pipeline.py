@@ -27,7 +27,12 @@ from cordon_spark.functions.embeddings import create_embedder
 from cordon_spark.operators import metrics as M
 from cordon_spark.operators import parse as P
 from cordon_spark.operators.merge import merge_blocks
-from cordon_spark.operators.routing import route_turns, sink_counts, split_sinks
+from cordon_spark.operators.routing import (
+    route_turns,
+    route_turns_windowed,
+    sink_counts,
+    split_sinks,
+)
 from cordon_spark.operators import threshold as TH
 from cordon_spark.operators.scoring import score_windows_centroid, score_windows_knn
 from cordon_spark.operators.windowing import segment_windows
@@ -171,12 +176,23 @@ def analyze_transcripts(
 
     # ---- route + sinks --------------------------------------------------
     metrics.start("route")
+
+    def build_routed() -> DataFrame:
+        # broadcast range join while blocks fit; above the limit switch
+        # to the equi-join router (same output; no broadcast ceiling —
+        # at 10^12 turns the post-threshold block set can be billions
+        # of rows). limit-probe early-terminates, costing ~nothing.
+        probe = blocks.limit(cfg.broadcast_blocks_limit + 1).count()
+        if probe > cfg.broadcast_blocks_limit:
+            return route_turns_windowed(transcripts, significant, cfg.window_size)
+        return route_turns(transcripts, blocks)
+
     routed, _ = _checkpoint(
         spark,
         catalog,
         run_id,
         "routed_turns",
-        lambda: route_turns(transcripts, blocks),
+        build_routed,
         metrics,
         resume,
     )

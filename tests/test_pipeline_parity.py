@@ -154,3 +154,36 @@ def test_salted_repartition_same_result(spark, tiny_transcripts, tiny_df):
     salted = analyze_transcripts(spark, tiny_df, AnalysisConfig(salt_buckets=7))
     assert _block_set(base.blocks.toPandas()) == _block_set(salted.blocks.toPandas())
     assert base.counts == salted.counts
+
+
+def test_windowed_router_equals_broadcast_router(spark, tiny_transcripts, tiny_df):
+    """The equi-join scale router must route every turn identically to
+    the broadcast range-join router (blocks are exactly the union of
+    significant windows' spans), including when forced in the pipeline
+    via broadcast_blocks_limit=0."""
+    from cordon_spark.operators.routing import route_turns, route_turns_windowed
+
+    cfg = AnalysisConfig()
+    res = analyze_transcripts(spark, tiny_df, cfg)
+    try:
+        a = route_turns(tiny_df, res.blocks)
+        b = route_turns_windowed(tiny_df, res.significant, cfg.window_size)
+        ra = {(r.conv_id, r.turn_idx, r.text, r.sink) for r in a.collect()}
+        rb = {(r.conv_id, r.turn_idx, r.text, r.sink) for r in b.collect()}
+        assert ra == rb
+        counts = dict(res.counts)
+    finally:
+        res.unpersist()
+
+    # pipeline with the broadcast path disabled routes identically
+    res0 = analyze_transcripts(
+        spark, tiny_df, AnalysisConfig(broadcast_blocks_limit=0)
+    )
+    try:
+        assert res0.counts == counts
+        r0 = {
+            (r.conv_id, r.turn_idx, r.text, r.sink) for r in res0.routed.collect()
+        }
+        assert r0 == ra
+    finally:
+        res0.unpersist()
