@@ -43,10 +43,22 @@ def route_turns(
         F.col("t.conv_id").alias("conv_id"),
         F.col("t.turn_idx").alias("turn_idx"),
         F.col(f"t.{text_col}").alias("text"),
+        *_extra_cols(turns, text_col),
         F.when(F.col("b.start_idx").isNotNull(), F.lit("anomalous"))
         .otherwise(F.lit("routine"))
         .alias("sink"),
     )
+
+
+def _extra_cols(turns: DataFrame, text_col: str):
+    """Carry every non-contract column (enrichment dims etc.) through
+    the router unchanged — the north_star routes ENRICHED turns."""
+    contract = {"conv_id", "turn_idx", text_col}
+    return [
+        F.col(f"t.{f.name}").alias(f.name)
+        for f in turns.schema.fields
+        if f.name not in contract
+    ]
 
 
 def route_turns_windowed(
@@ -82,6 +94,7 @@ def route_turns_windowed(
         F.col("t.conv_id").alias("conv_id"),
         F.col("t.turn_idx").alias("turn_idx"),
         F.col(f"t.{text_col}").alias("text"),
+        *_extra_cols(turns, text_col),
         F.when(F.col("s.window_id").isNotNull(), F.lit("anomalous"))
         .otherwise(F.lit("routine"))
         .alias("sink"),

@@ -95,10 +95,24 @@ def analyze_transcripts(
     catalog=None,
     run_id: str = "run0",
     resume: bool = False,
+    tool_registry: DataFrame | None = None,
+    role_taxonomy: DataFrame | None = None,
 ) -> PipelineResult:
     cfg = cfg or AnalysisConfig()
     metrics = M.StageMetrics()
     caches: list[DataFrame] = []
+
+    # ---- enrich (north_star: broadcast lookup dims onto the turns the
+    # router fans out; windows/scoring see only conv/turn/text) --------
+    if tool_registry is not None or role_taxonomy is not None:
+        from cordon_spark.operators.enrich import enrich_roles, enrich_tools
+
+        metrics.start("enrich")
+        if tool_registry is not None:
+            transcripts = enrich_tools(transcripts, tool_registry)
+        if role_taxonomy is not None:
+            transcripts = enrich_roles(transcripts, role_taxonomy)
+        metrics.stop("enrich")
 
     # ---- parse (template extraction; feeds centroid signatures) ------
     turns = transcripts

@@ -61,3 +61,45 @@ def test_enrich_roles(spark):
     dim = spark.createDataFrame(role_taxonomy_pdf())
     got = {r.role: r.role_group for r in enrich_roles(turns, dim).collect()}
     assert got == {"user": "human", "alien": "unknown"}
+
+
+def test_pipeline_routes_enriched_turns(spark):
+    """north_star: enrichment dims ride through the router — routed rows
+    carry tool_category/risk_level/role_group with missing-key defaults,
+    and sink decisions are unchanged vs the unenriched run."""
+    from cordon_spark.config import AnalysisConfig
+    from cordon_spark.datagen import (
+        generate_transcripts,
+        role_taxonomy_pdf,
+        tool_registry_pdf,
+    )
+    from cordon_spark.plans.pipeline import analyze_transcripts
+
+    pdf, _ = generate_transcripts(n_convs=4, mean_turns=30, seed=11, with_edge_cases=False)
+    df = spark.createDataFrame(pdf)
+    cfg = AnalysisConfig()
+
+    plain = analyze_transcripts(spark, df, cfg)
+    enriched = analyze_transcripts(
+        spark,
+        df,
+        cfg,
+        tool_registry=spark.createDataFrame(tool_registry_pdf()),
+        role_taxonomy=spark.createDataFrame(role_taxonomy_pdf()),
+    )
+    try:
+        cols = set(enriched.routed.columns)
+        assert {"tool_category", "risk_level", "role_group", "sink"} <= cols
+        assert plain.counts == enriched.counts
+        # missing-key defaults: 'fetch' is absent from the registry
+        rows = enriched.routed.filter("tool = 'fetch'").select(
+            "tool_category", "risk_level"
+        ).distinct().collect()
+        assert [(r.tool_category, r.risk_level) for r in rows] == [("unknown", 0)]
+        # sink decision per turn identical
+        p = {(r.conv_id, r.turn_idx): r.sink for r in plain.routed.collect()}
+        e = {(r.conv_id, r.turn_idx): r.sink for r in enriched.routed.collect()}
+        assert p == e
+    finally:
+        plain.unpersist()
+        enriched.unpersist()
