@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--output", default=None, help="write rendered blocks here")
     p.add_argument("--json", action="store_true", help="print stats as JSON")
+    p.add_argument("--tool-registry", default=None,
+                   help="parquet dim (tool, tool_category, risk_level) joined onto routed turns")
+    p.add_argument("--role-taxonomy", default=None,
+                   help="parquet dim (role, role_group) joined onto routed turns")
     return p
 
 
@@ -76,6 +80,8 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("cordon_spark_cli", master=args.master)
     catalog = SnapshotCatalog(args.warehouse) if args.warehouse else None
+    tool_registry = spark.read.parquet(args.tool_registry) if args.tool_registry else None
+    role_taxonomy = spark.read.parquet(args.role_taxonomy) if args.role_taxonomy else None
 
     from cordon_spark.kernel import stable_hash64
 
@@ -98,6 +104,8 @@ def main(argv: list[str] | None = None) -> int:
                 # benchmark/evaluate.py:898-965 resume contract).
                 run_id=f"{args.run_id}-{stable_hash64(path) % 10**8}",
                 resume=args.resume,
+                tool_registry=tool_registry,
+                role_taxonomy=role_taxonomy,
             )
         except Exception as exc:  # per-file failure -> nonzero exit, keep going
             print(f"error: {path}: {exc}", file=sys.stderr)

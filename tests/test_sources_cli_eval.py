@@ -83,6 +83,35 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     assert "<block lines=" in text and "</block>" in text
 
 
+def test_cli_enrichment_dims(spark, tmp_path):
+    """--tool-registry/--role-taxonomy parquet dims enrich the routed
+    sinks written through the warehouse."""
+    from cordon_spark.cli import main
+    from cordon_spark.datagen import (
+        generate_transcripts,
+        role_taxonomy_pdf,
+        tool_registry_pdf,
+        write_parquet,
+    )
+    from cordon_spark.sources.catalog import SnapshotCatalog
+
+    pdf, _ = generate_transcripts(n_convs=3, mean_turns=25, seed=8, with_edge_cases=False)
+    tpath = tmp_path / "t.parquet"
+    write_parquet(pdf, str(tpath))
+    write_parquet(tool_registry_pdf(), str(tmp_path / "tools.parquet"))
+    write_parquet(role_taxonomy_pdf(), str(tmp_path / "roles.parquet"))
+    wh = tmp_path / "wh"
+    rc = main([
+        str(tpath), "--output", str(tmp_path / "o.txt"), "--warehouse", str(wh),
+        "--tool-registry", str(tmp_path / "tools.parquet"),
+        "--role-taxonomy", str(tmp_path / "roles.parquet"),
+    ])
+    assert rc == 0
+    routed = SnapshotCatalog(wh).read(spark, "routed_turns")
+    assert {"tool_category", "risk_level", "role_group", "sink"} <= set(routed.columns)
+    assert routed.count() == len(pdf)
+
+
 def test_cli_invalid_config(tmp_path):
     from cordon_spark.cli import main
 
