@@ -87,6 +87,113 @@ def extract_features(
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (H, W[, C]) array — REAL math (pure
+    numpy index sampling, no image libs); only the codec around it is
+    stubbed. Index mapping: src = floor(dst * in/out), the standard
+    nearest-neighbor convention."""
+    in_h, in_w = img.shape[0], img.shape[1]
+    rows = np.minimum((np.arange(out_h) * in_h // out_h), in_h - 1)
+    cols = np.minimum((np.arange(out_w) * in_w // out_w), in_w - 1)
+    return img[rows[:, None], cols[None, :]]
+
+
+def sample_frame_indices(n_frames: int, n_samples: int) -> np.ndarray:
+    """Deterministic uniform frame sampling: n_samples indices evenly
+    spread over [0, n_frames) (first frame always included)."""
+    n_samples = max(1, min(n_samples, n_frames))
+    return (np.arange(n_samples) * n_frames // n_samples).astype(np.int64)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame,
+    out_h: int,
+    out_w: int,
+    decode_fn: Callable[[str, bytes], np.ndarray] | None = None,
+    encode_fn: Callable[[np.ndarray], bytes] | None = None,
+) -> DataFrame:
+    """decode -> nearest-neighbor resize (real numpy) -> re-encode, as
+    mapInPandas over Arrow batches. decode_fn/encode_fn are the stubbed
+    codec seams (no media libs in this container; encode defaults to raw
+    ndarray bytes so the pipeline stays runnable and deterministic)."""
+    decode = decode_fn or _default_decode
+    encode = encode_fn or (lambda arr: np.ascontiguousarray(arr).tobytes())
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                img = decode(kind, bytes(payload) if payload is not None else b"")
+                payloads.append(encode(resize_nearest(np.asarray(img), out_h, out_w)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "height": pd.Series([out_h] * len(pdf), dtype="int32"),
+                    "width": pd.Series([out_w] * len(pdf), dtype="int32"),
+                    "payload": payloads,
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    n_samples: int,
+    decode_fn: Callable[[str, bytes], list] | None = None,
+    encode_fn: Callable[[np.ndarray], bytes] | None = None,
+) -> DataFrame:
+    """Video frame sampling: decode a video payload to its frame list
+    (stubbed codec seam), keep `n_samples` uniformly-spread frames
+    (deterministic indices, real math), emit ONE ROW PER KEPT FRAME —
+    the mapInPandas fan-out shape (output rows != input rows) a real
+    frame-extraction pipeline needs."""
+    decode = decode_fn or _default_decode
+    encode = encode_fn or (lambda arr: np.ascontiguousarray(arr).tobytes())
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads = [], [], []
+            for media_id, payload, kind in zip(
+                pdf["media_id"], pdf["payload"], pdf["kind"]
+            ):
+                frames = decode(kind, bytes(payload) if payload is not None else b"")
+                for fi in sample_frame_indices(len(frames), n_samples):
+                    ids.append(media_id)
+                    idxs.append(int(fi))
+                    payloads.append(encode(np.asarray(frames[fi])))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "payload": payloads,
+                }
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
 def fake_decoder(kind: str, payload: bytes) -> np.ndarray:
     """Deterministic stand-in decoder for tests: hashes the payload into
     a fixed-dim feature vector (the Spark plumbing around it is what's
