@@ -449,8 +449,15 @@ SQL_DEDUP_EXACT = (
     "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text"
 )
 
-_TOKS_SQL = """
-tk AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+# kernel.tokenize parity: Python str.split() separates on ANY run of
+# Unicode whitespace; the RE2 class is generated from the same
+# kernel.PY_WHITESPACE constant as the Spark tokens_col regex
+from cordon_spark.kernel import ws_class as _ws_class
+
+_WS_RE2 = _ws_class("re2")
+
+_TOKS_SQL = f"""
+tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '{_WS_RE2}+'), x -> x <> '') AS toks
        FROM documents)
 """
 
@@ -557,9 +564,9 @@ def q_token_count(spark, sf_dir):
     )
 
 
-SQL_TOKEN_COUNT = """
+SQL_TOKEN_COUNT = f"""
 SELECT doc_id,
-       len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens,
+       len(list_filter(regexp_split_to_array(lower(text), '{_WS_RE2}+'), x -> x <> '')) AS n_tokens,
        len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_alnum_tokens,
        length(text) AS n_chars
 FROM documents
@@ -812,7 +819,7 @@ w AS (SELECT conv_id, turn_idx // {WS} AS window_id, min(turn_idx) AS start_idx,
              string_agg(stx, chr(10) ORDER BY turn_idx) AS content
       FROM t GROUP BY 1, 2),
 tok AS (SELECT conv_id, window_id,
-               unnest(list_filter(regexp_split_to_array(lower(content), '\\s+'), x -> x <> '')) AS tok
+               unnest(list_filter(regexp_split_to_array(lower(content), '{_WS_RE2}+'), x -> x <> '')) AS tok
         FROM w),
 feat AS (SELECT conv_id, window_id,
                 (('0x' || substr(md5(tok), 1, 8))::UBIGINT % {EMB_DIM})::INTEGER AS bucket,

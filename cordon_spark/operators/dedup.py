@@ -27,9 +27,13 @@ from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 def tokens_col(text_col: str = "text") -> Column:
     """Whitespace tokens, lowercased, empties dropped — matches
-    kernel.tokenize and the SQL `list_filter(string_split(lower(x),' '))`."""
+    kernel.tokenize (Python str.split(): ANY run of Unicode whitespace
+    separates tokens, via the shared kernel.ws_class) and the SQL
+    regexp_split_to_array mirror in entry_queries._TOKS_SQL."""
+    from cordon_spark.kernel import ws_class
+
     return F.filter(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), ws_class("java") + "+"),
         lambda x: x != "",
     )
 

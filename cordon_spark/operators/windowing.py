@@ -37,26 +37,9 @@ from cordon_spark.kernel import PY_WHITESPACE
 # the 29 codepoints singly (1.0s vs 2.2s per 2M rows at 8 threads).
 
 
-def _build_rstrip_re() -> str:
-    cps = sorted(ord(c) for c in PY_WHITESPACE)
-    ranges = []
-    start = prev = cps[0]
-    for c in cps[1:]:
-        if c == prev + 1:
-            prev = c
-        else:
-            ranges.append((start, prev))
-            start = prev = c
-    ranges.append((start, prev))
+from cordon_spark.kernel import ws_class
 
-    def esc(c: int) -> str:
-        return f"\\u{c:04x}"
-
-    cls = "".join(esc(a) + (f"-{esc(b)}" if b > a else "") for a, b in ranges)
-    return "[" + cls + "]++$"
-
-
-_RSTRIP_RE = _build_rstrip_re()
+_RSTRIP_RE = ws_class("java") + "++$"
 
 
 def with_stripped_text(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -79,3 +79,69 @@ def test_random_corpus_exact_parity(spark, corpus, cfg):
     assert _blocks(res.blocks.toPandas()) == _blocks(oracle.blocks)
     assert res.counts["anomalous"] == oracle.stats["anomalous_turns"]
     assert res.counts["routine"] == oracle.stats["routine_turns"]
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters=["\x00"]
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_rstrip_three_engine_property(spark, texts):
+    """For ARBITRARY unicode text: kernel == str.rstrip == Spark regex ==
+    DuckDB rtrim (the whitespace class is shared from one constant)."""
+    import duckdb
+
+    from cordon_spark import kernel
+    from cordon_spark.entry_queries import _RTRIM
+    from cordon_spark.operators.windowing import with_stripped_text
+
+    expected = [t.rstrip() for t in texts]
+    assert [kernel.rstrip_text(t) for t in texts] == expected
+
+    pdf = pd.DataFrame({"i": range(len(texts)), "text": texts})
+    got = (
+        with_stripped_text(spark.createDataFrame(pdf))
+        .orderBy("i")
+        .select("text_stripped")
+        .collect()
+    )
+    assert [r.text_stripped for r in got] == expected
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INTEGER, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
+    rows = con.execute(f"SELECT {_RTRIM} FROM t ORDER BY i").fetchall()
+    assert [r[0] for r in rows] == expected
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet=" abcdef\t", max_size=30), min_size=1, max_size=8
+    ),
+    n=st.integers(1, 4),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_shingles_spark_matches_kernel_property(spark, texts, n):
+    """shingles_col == kernel.token_shingles for arbitrary inputs
+    (incl. empty / whitespace-only docs -> no shingles)."""
+    from cordon_spark import kernel
+    from cordon_spark.operators import dedup as D
+
+    pdf = pd.DataFrame({"i": range(len(texts)), "text": texts})
+    got = (
+        spark.createDataFrame(pdf)
+        .select("i", D.shingles_col(D.tokens_col("text"), n).alias("sh"))
+        .orderBy("i")
+        .collect()
+    )
+    for r, t in zip(got, texts):
+        # spark array_distinct preserves first-seen order like the kernel
+        assert list(r.sh) == kernel.token_shingles(kernel.tokenize(t), n), repr(t)
