@@ -256,14 +256,10 @@ def create_embedder(cfg: AnalysisConfig) -> Callable[[DataFrame, str], DataFrame
 
 
 def normalize_vec_col(df: DataFrame, col: str = "embedding") -> DataFrame:
-    """L2-normalize an array<numeric> column JVM-side (no Python):
-    norm via aggregate(), divide via transform(). Zero vectors pass
-    through unchanged."""
-    vec = F.transform(F.col(col), lambda x: x.cast("double"))
-    norm = F.sqrt(
-        F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    return df.withColumn(
-        col,
-        F.when(norm > 0.0, F.transform(vec, lambda x: x / norm)).otherwise(vec),
-    )
+    """L2-normalize an array<numeric> column JVM-side (no Python).
+    Delegates to similarity.normalize, which materializes the norm once
+    per row (a norm referenced inside the divide lambda re-evaluates per
+    element — O(dim^2)/row)."""
+    from cordon_spark.operators.similarity import normalize
+
+    return normalize(df, col)

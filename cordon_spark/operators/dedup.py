@@ -64,12 +64,19 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     ).select(id_col, "n_copies")
 
 
-def _jaccard(a: Column, b: Column) -> Column:
-    inter = F.size(F.array_intersect(a, b)).cast("double")
-    union = F.size(a) + F.size(b) - F.size(F.array_intersect(a, b))
+def _with_jaccard(df: DataFrame, a: Column, b: Column, out: str = "jaccard") -> DataFrame:
+    """Append a jaccard column, evaluating array_intersect ONCE: the
+    intersect size lands in its own projection and the jaccard reads the
+    alias — CollapseProject keeps multi-referenced non-cheap producers
+    uncollapsed, so the O(|a|+|b|) intersect isn't inlined 3x (it was:
+    numerator + union + guard; measured 3x the per-pair cost)."""
+    step = df.withColumn("_isz", F.size(F.array_intersect(a, b)).cast("double"))
+    union = F.size(a) + F.size(b) - F.col("_isz")
     # two empty shingle sets: jaccard of empty sets is 0 (no near-dup),
     # and ANSI mode would otherwise raise DIVIDE_BY_ZERO
-    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return step.withColumn(
+        out, F.when(union > 0, F.col("_isz") / union).otherwise(F.lit(0.0))
+    ).drop("_isz")
 
 
 def ngram_jaccard_pairs(
@@ -85,13 +92,15 @@ def ngram_jaccard_pairs(
         F.col(id_col), shingles_col(tokens_col(text_col), n).alias("sh")
     )
     a, b = sh.alias("a"), sh.alias("b")
-    pairs = a.join(
+    joined = a.join(
         F.broadcast(b), F.col(f"a.{id_col}") < F.col(f"b.{id_col}"), "inner"
     ).select(
         F.col(f"a.{id_col}").alias("doc_a"),
         F.col(f"b.{id_col}").alias("doc_b"),
-        _jaccard(F.col("a.sh"), F.col("b.sh")).alias("jaccard"),
+        F.col("a.sh").alias("sh_a"),
+        F.col("b.sh").alias("sh_b"),
     )
+    pairs = _with_jaccard(joined, F.col("sh_a"), F.col("sh_b")).drop("sh_a", "sh_b")
     return pairs.filter(F.col("jaccard") >= threshold)
 
 
@@ -175,11 +184,11 @@ def minhash_lsh_pairs(
     )
     sa = sh_cand.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh_cand.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
-    verified = (
-        cands.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
-    )
+    verified = _with_jaccard(
+        cands.join(sa, "doc_a").join(sb, "doc_b"),
+        F.col("sh_a"),
+        F.col("sh_b"),
+    ).select("doc_a", "doc_b", "jaccard")
     return verified.filter(F.col("jaccard") >= verify_threshold)
 
 

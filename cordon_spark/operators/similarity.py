@@ -22,12 +22,18 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 
 
 def normalize(df: DataFrame, vec_col: str, out_col: str | None = None) -> DataFrame:
+    """L2-normalize JVM-side. The norm materializes once per row behind
+    a Generate barrier — referenced inside the divide lambda it would
+    otherwise re-evaluate PER ELEMENT (O(dim^2)/row; lambdas don't hoist
+    loop-invariant subexpressions)."""
     out_col = out_col or vec_col
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
-    return df.withColumn(
-        out_col, F.when(norm > 0.0, F.transform(vec, lambda x: x / norm)).otherwise(vec)
-    )
+    step = df.withColumn("_nrm", F.explode(F.array(norm)))
+    n = F.col("_nrm")
+    return step.withColumn(
+        out_col, F.when(n > 0.0, F.transform(vec, lambda x: x / n)).otherwise(vec)
+    ).drop("_nrm")
 
 
 def _dot(a, b):
