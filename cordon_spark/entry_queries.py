@@ -613,7 +613,7 @@ SELECT doc_id, floor(quality*10000 + 0.5)/10000 AS quality FROM q
 def q_doc_fingerprint(spark, sf_dir):
     ship_package(spark)
     docs = _docs(spark, sf_dir)
-    return docs.select("doc_id", TX.fingerprint_col(n=5).alias("fingerprint"))
+    return TX.with_fingerprint(docs, n=5).select("doc_id", "fingerprint")
 
 
 SQL_DOC_FINGERPRINT = f"""

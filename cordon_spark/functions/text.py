@@ -67,7 +67,25 @@ def fingerprint_col(text_col: str = "text", n: int = 5) -> Column:
     """Document fingerprint: lexicographic MIN md5 over n-token shingles
     (min-hash winnowing); short docs hash their full token string, and
     empty docs keep a stable fingerprint md5('') (shingles_col itself
-    emits none for empty docs — dedup semantics differ deliberately)."""
+    emits none for empty docs — dedup semantics differ deliberately).
+    Column form — for per-corpus paths prefer with_fingerprint (token
+    materialization barrier)."""
     sh = shingles_col(tokens_col(text_col), n)
     sh = F.when(F.size(sh) == 0, F.array(F.lit(""))).otherwise(sh)
     return F.array_min(F.transform(sh, lambda s: F.md5(s)))
+
+
+def with_fingerprint(
+    df: DataFrame, text_col: str = "text", n: int = 5, out: str = "fingerprint"
+) -> DataFrame:
+    """DataFrame form of fingerprint_col with the shingle/token arrays
+    materialized once per row (dedup.with_shingles barrier) — the Column
+    form re-evaluates tokenize per shingle inside its lambdas."""
+    from cordon_spark.operators.dedup import with_shingles
+
+    step = with_shingles(df, n, text_col, out="_sh")
+    sh = F.when(F.size("_sh") == 0, F.array(F.lit(""))).otherwise(F.col("_sh"))
+    step = step.withColumn("_sh2", F.explode(F.array(sh)))
+    return step.withColumn(
+        out, F.array_min(F.transform(F.col("_sh2"), lambda s: F.md5(s)))
+    ).drop("_sh", "_sh2")

@@ -38,6 +38,18 @@ def tokens_col(text_col: str = "text") -> Column:
     )
 
 
+def with_shingles(df: DataFrame, n: int, text_col: str = "text", out: str = "sh") -> DataFrame:
+    """df + distinct n-gram shingle column, with the TOKEN ARRAY
+    materialized once per row behind a Generate barrier: shingles_col's
+    slice lambda references the token expression PER SHINGLE, so feeding
+    it the raw tokenize expression re-runs split+filter O(tokens) times
+    per row (measured: the sf0.1 shingle pass alone cost ~8s; with the
+    barrier it's the one-split cost). Use this in any per-corpus path;
+    the Column API (shingles_col) is for already-cheap inputs."""
+    step = df.withColumn("_toks", F.explode(F.array(tokens_col(text_col))))
+    return step.withColumn(out, shingles_col(F.col("_toks"), n)).drop("_toks")
+
+
 def shingles_col(toks: Column, n: int) -> Column:
     """Distinct n-gram shingles (space-joined); shorter docs collapse to
     one whole-doc shingle; empty/whitespace-only docs yield NO shingles
@@ -88,9 +100,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard near-dup pairs (a < b). O(n^2):
     test-scale oracle for the LSH variant; one side broadcast."""
-    sh = docs.select(
-        F.col(id_col), shingles_col(tokens_col(text_col), n).alias("sh")
-    )
+    sh = with_shingles(docs, n, text_col).select(F.col(id_col), "sh")
     a, b = sh.alias("a"), sh.alias("b")
     joined = a.join(
         F.broadcast(b), F.col(f"a.{id_col}") < F.col(f"b.{id_col}"), "inner"
@@ -134,9 +144,7 @@ def minhash_lsh_pairs(
     The aggregated exchange is also what lets AQE reuse one computation
     for both sides of the self-join (ReusedExchange)."""
     nh = bands * rows
-    sh = docs.select(
-        F.col(id_col), shingles_col(tokens_col(text_col), n).alias("sh")
-    )
+    sh = with_shingles(docs, n, text_col).select(F.col(id_col), "sh")
     exploded = sh.select(id_col, F.explode("sh").alias("s1"))
     mins = exploded.groupBy(id_col).agg(
         *[
@@ -179,9 +187,9 @@ def minhash_lsh_pairs(
         .union(cands.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    sh_cand = docs.join(F.broadcast(cand_ids), on=id_col, how="left_semi").select(
-        F.col(id_col), shingles_col(tokens_col(text_col), n).alias("sh")
-    )
+    sh_cand = with_shingles(
+        docs.join(F.broadcast(cand_ids), on=id_col, how="left_semi"), n, text_col
+    ).select(F.col(id_col), "sh")
     sa = sh_cand.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh_cand.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     verified = _with_jaccard(
