@@ -67,11 +67,18 @@ def shingles_col(toks: Column, n: int) -> Column:
     )
 
 
-def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", key: str = "text"
+) -> DataFrame:
     """Exact dedup: one representative (min id) per distinct text.
-    At 100 TB group on md5(text) instead of the full text to keep
-    shuffle rows small; here the text itself is the key for parity."""
-    return docs.groupBy(text_col).agg(
+
+    key="text" shuffles the full text (the parity oracle's grouping);
+    key="digest" groups on md5(text) so shuffle rows carry a 32-byte
+    key instead of the document — the 100 TB spelling (same groups up
+    to md5 collisions, i.e. same in practice; asserted equal in tests).
+    """
+    group = F.md5(F.coalesce(F.col(text_col), F.lit(""))) if key == "digest" else F.col(text_col)
+    return docs.groupBy(group.alias("_k")).agg(
         F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies")
     ).select(id_col, "n_copies")
 

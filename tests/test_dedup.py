@@ -161,3 +161,14 @@ def test_empty_docs_emit_no_shingles_no_pairs(spark):
     assert kernel.token_shingles(kernel.tokenize(""), 3) == []
     assert D.minhash_lsh_pairs(docs, n=3).collect() == []
     assert D.ngram_jaccard_pairs(docs, n=3, threshold=0.1).collect() == []
+
+
+def test_exact_dedup_digest_key_equivalent(spark, corpus):
+    """key='digest' (md5 shuffle keys, the 100 TB spelling) groups
+    identically to key='text'."""
+    by_text = {(r.doc_id, r.n_copies) for r in D.exact_dedup(corpus).collect()}
+    by_digest = {
+        (r.doc_id, r.n_copies)
+        for r in D.exact_dedup(corpus, key="digest").collect()
+    }
+    assert by_text == by_digest
