@@ -68,18 +68,22 @@ class AnalysisConfig:
             raise ValueError(
                 f"anomaly_percentile must be in [0, 1], got {self.anomaly_percentile}"
             )
+        # error strings mirror the reference's (its tests pin these
+        # substrings: core/config.py:52-68, tests/test_core.py:97-127)
         has_min = self.anomaly_range_min is not None
         has_max = self.anomaly_range_max is not None
         if has_min != has_max:
-            raise ValueError("anomaly_range_min and anomaly_range_max must be set together")
+            raise ValueError(
+                "anomaly_range_min and anomaly_range_max must both be set or both be None"
+            )
         if has_min and has_max:
             lo, hi = self.anomaly_range_min, self.anomaly_range_max
-            if not (0.0 <= lo <= 1.0) or not (0.0 <= hi <= 1.0):
-                raise ValueError("anomaly range bounds must be in [0, 1]")
+            if not (0.0 <= lo <= 1.0):
+                raise ValueError("anomaly_range_min must be between 0.0 and 1.0")
+            if not (0.0 <= hi <= 1.0):
+                raise ValueError("anomaly_range_max must be between 0.0 and 1.0")
             if lo >= hi:
-                raise ValueError(
-                    f"anomaly_range_min ({lo}) must be < anomaly_range_max ({hi})"
-                )
+                raise ValueError("anomaly_range_min must be less than anomaly_range_max")
         if self.batch_size < 1:
             raise ValueError(f"batch_size must be >= 1, got {self.batch_size}")
         if self.embedding_dim < 1:
@@ -92,6 +96,8 @@ class AnalysisConfig:
             raise ValueError(f"unknown scorer: {self.scorer}")
         if self.backend not in ("hash", "sentence-transformers", "remote", "llama-cpp"):
             raise ValueError(f"unknown backend: {self.backend}")
+        if self.request_timeout <= 0:
+            raise ValueError("request_timeout must be > 0")
 
     @property
     def range_mode(self) -> bool:

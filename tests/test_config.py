@@ -39,3 +39,28 @@ def test_range_mode_flags():
     assert not cfg.keep_all and not cfg.keep_none
     assert AnalysisConfig(anomaly_percentile=1.0).keep_all
     assert AnalysisConfig(anomaly_percentile=0.0).keep_none
+
+
+def test_validation_messages_match_reference():
+    """The reference's tests pin these error substrings
+    (tests/test_core.py:97-127) — keep ours drop-in compatible."""
+    import pytest
+
+    from cordon_spark.config import AnalysisConfig
+
+    with pytest.raises(ValueError, match="must both be set"):
+        AnalysisConfig(anomaly_range_min=0.1)
+    with pytest.raises(ValueError, match="must both be set"):
+        AnalysisConfig(anomaly_range_max=0.5)
+    with pytest.raises(ValueError, match="anomaly_range_min must be between"):
+        AnalysisConfig(anomaly_range_min=-0.1, anomaly_range_max=0.5)
+    with pytest.raises(ValueError, match="anomaly_range_min must be between"):
+        AnalysisConfig(anomaly_range_min=1.5, anomaly_range_max=1.6)
+    with pytest.raises(ValueError, match="anomaly_range_max must be between"):
+        AnalysisConfig(anomaly_range_min=0.1, anomaly_range_max=1.5)
+    with pytest.raises(ValueError, match="must be less than"):
+        AnalysisConfig(anomaly_range_min=0.5, anomaly_range_max=0.5)
+    with pytest.raises(ValueError, match="must be less than"):
+        AnalysisConfig(anomaly_range_min=0.6, anomaly_range_max=0.4)
+    with pytest.raises(ValueError, match="request_timeout must be > 0"):
+        AnalysisConfig(request_timeout=0.0)
