@@ -21,8 +21,17 @@ Python appears only in Arrow-batched pandas UDFs (embedding, scoring,
 template matching) that share one numpy kernel with the test oracle.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
+from cordon_spark.analyzer import AnalysisResult, SemanticLogAnalyzer
 from cordon_spark.config import AnalysisConfig
 
-__all__ = ["AnalysisConfig", "__version__"]
+# the reference's public names (src/cordon/__init__.py): the row-level
+# dataclasses (TextWindow/ScoredWindow/MergedBlock) have no object
+# analog here — their data lives in DataFrame rows (SURVEY.md §1.4)
+__all__ = [
+    "SemanticLogAnalyzer",
+    "AnalysisConfig",
+    "AnalysisResult",
+    "__version__",
+]
