@@ -34,7 +34,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", default="hash",
                    choices=["hash", "sentence-transformers", "llama-cpp", "remote"])
     p.add_argument("--model-name", default="hash-64")
+    p.add_argument("--model-path", default=None,
+                   help="GGUF model path (llama-cpp; auto-downloads default if omitted)")
     p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--device", default=None, choices=["cuda", "mps", "cpu"],
+                   help="informational on CPU executors; validated for config parity")
+    p.add_argument("--api-key", default=None, help="remote backend API key")
+    p.add_argument("--endpoint", default=None, help="remote backend API base URL")
+    p.add_argument("--scoring-batch-size", type=int, default=None)
+    p.add_argument("--n-ctx", type=int, default=2048)
+    p.add_argument("--n-gpu-layers", type=int, default=0)
+    p.add_argument("--n-threads", type=int, default=None)
+    p.add_argument("--detailed", action="store_true",
+                   help="print detailed statistics (reference cli.py:172-186 format)")
     p.add_argument("--scorer", default="knn", choices=["knn", "centroid"])
     p.add_argument("--master", default=None)
     p.add_argument("--warehouse", default=None, help="snapshot catalog root (enables resume)")
@@ -65,7 +77,15 @@ def main(argv: list[str] | None = None) -> int:
             anomaly_range_max=args.anomaly_range[1] if args.anomaly_range else None,
             backend=args.backend,
             model_name=args.model_name,
+            model_path=args.model_path,
             batch_size=args.batch_size,
+            device=args.device,
+            api_base=args.endpoint,
+            api_key=args.api_key,
+            scoring_batch_size=args.scoring_batch_size,
+            n_ctx=args.n_ctx,
+            n_gpu_layers=args.n_gpu_layers,
+            n_threads=args.n_threads,
             scorer=args.scorer,
         )
     except ValueError as exc:  # eager validation, reference cli.py:262-283
@@ -123,6 +143,18 @@ def main(argv: list[str] | None = None) -> int:
         else:
             print(out_text)
         summary = dict(res.stats, seconds=round(time.time() - t0, 2), input=path)
+        if args.detailed:  # reference cli.py:172-186 format
+            print("\nAnalysis Statistics:", file=sys.stderr)
+            print(f"  Total windows created: {summary['total_windows']:,}", file=sys.stderr)
+            print(f"  Significant windows: {summary['significant_windows']:,}", file=sys.stderr)
+            print(f"  Merged blocks: {summary['merged_blocks']}", file=sys.stderr)
+            print(f"  Processing time: {summary['seconds']:.2f}s", file=sys.stderr)
+            print("\nScore Distribution:", file=sys.stderr)
+            for key, label in (
+                ("min", "Min:   "), ("mean", "Mean:  "), ("median", "Median:"),
+                ("p90", "P90:   "), ("max", "Max:   "),
+            ):
+                print(f"  {label} {summary[key]:.4f}", file=sys.stderr)
         if args.json:
             print(json.dumps(summary), file=sys.stderr)
         else:

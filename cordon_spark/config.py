@@ -33,6 +33,18 @@ class AnalysisConfig:
     model_name: str = "hash-64"
     embedding_dim: int = 64
     batch_size: int = 32
+    # device is INFORMATIONAL here (executors are CPU in this sandbox;
+    # GPU routing is per-worker in the UDF) but validated like the
+    # reference (config.py:50) for drop-in config compatibility
+    device: str | None = None
+    # llama-cpp knobs (reference config.py:23-26)
+    model_path: str | None = None  # GGUF file; None -> auto-download
+    n_ctx: int = 2048
+    n_gpu_layers: int = 0
+    n_threads: int | None = None
+    # reference's scoring batch knob (None = auto); when set it overrides
+    # scoring_chunk_size in the exact-kNN kernel
+    scoring_batch_size: int | None = None
 
     # scoring execution (reference scorer.py:89-127 auto batch sizing)
     scorer: str = "knn"  # knn (exact, test-scale) | centroid (sketch, 100TB-scale)
@@ -98,6 +110,29 @@ class AnalysisConfig:
             raise ValueError(f"unknown backend: {self.backend}")
         if self.request_timeout <= 0:
             raise ValueError("request_timeout must be > 0")
+        # reference config.py:47-96 parity
+        if self.device is not None and self.device not in ("cuda", "mps", "cpu"):
+            raise ValueError("device must be 'cuda', 'mps', 'cpu', or None")
+        if self.scoring_batch_size is not None and self.scoring_batch_size < 1:
+            raise ValueError("scoring_batch_size must be >= 1 or None for auto-detect")
+        if self.n_ctx < 1:
+            raise ValueError("n_ctx must be >= 1")
+        if self.n_gpu_layers < -1:
+            raise ValueError(
+                "n_gpu_layers must be >= -1 (-1 for all layers, 0 for CPU-only)"
+            )
+        if self.n_threads is not None and self.n_threads < 1:
+            raise ValueError("n_threads must be >= 1 or None for auto-detect")
+        if self.backend == "llama-cpp" and self.model_path is not None:
+            from pathlib import Path
+
+            model_file = Path(self.model_path)
+            if not model_file.exists():
+                raise ValueError(f"GGUF model file not found: {self.model_path}")
+            if model_file.suffix != ".gguf":
+                raise ValueError(
+                    f"model_path must be a .gguf file, got: {model_file.suffix}"
+                )
 
     @property
     def range_mode(self) -> bool:

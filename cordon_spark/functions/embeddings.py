@@ -197,15 +197,30 @@ def resolve_gguf_model(model_path: str | None) -> str:
         ) from error
 
 
-def llama_embed_batch(texts: list[str], model_path: str) -> np.ndarray:
+def llama_embed_batch(
+    texts: list[str],
+    model_path: str,
+    n_ctx: int = 2048,
+    n_threads: int | None = None,
+    n_gpu_layers: int = 0,
+) -> np.ndarray:
     """llama-cpp backend batch (llama_cpp.py:45-66): per-text
-    create_embedding + explicit L2 norm (:62-64). Module-level for
+    create_embedding + explicit L2 norm (:62-64); constructor knobs
+    mirror the reference (:35-43, incl. n_batch=n_ctx). Module-level for
     mockability (reference tests/test_llama_cpp.py:13-47)."""
     import llama_cpp  # import-gated
 
     model = _llama_model_cache.get(model_path)
     if model is None:
-        model = llama_cpp.Llama(model_path=model_path, embedding=True, verbose=False)
+        model = llama_cpp.Llama(
+            model_path=model_path,
+            embedding=True,
+            n_ctx=n_ctx,
+            n_threads=n_threads,
+            n_gpu_layers=n_gpu_layers,
+            n_batch=n_ctx,
+            verbose=False,
+        )
         _llama_model_cache[model_path] = model
     out = []
     for text in texts:
@@ -220,13 +235,19 @@ def llama_embed_batch(texts: list[str], model_path: str) -> np.ndarray:
 _llama_model_cache: dict = {}
 
 
-def _llama_udf(model_path: str):
+def _llama_udf(model_path: str, n_ctx: int, n_threads: int | None, n_gpu_layers: int):
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         from cordon_spark.functions.embeddings import llama_embed_batch
 
         for s in batches:
-            yield pd.Series(list(llama_embed_batch(s.fillna("").tolist(), model_path)))
+            yield pd.Series(
+                list(
+                    llama_embed_batch(
+                        s.fillna("").tolist(), model_path, n_ctx, n_threads, n_gpu_layers
+                    )
+                )
+            )
 
     return embed
 
@@ -241,11 +262,16 @@ def create_embedder(cfg: AnalysisConfig) -> Callable[[DataFrame, str], DataFrame
     elif cfg.backend == "remote":
         udf = _remote_udf(cfg.model_name, cfg.api_base, cfg.api_key, cfg.request_timeout)
     elif cfg.backend == "llama-cpp":
-        # model_name doubles as the GGUF path; the reference's default
-        # model ("hash-64" is our sandbox default sentinel) triggers the
-        # auto-download path (llama_cpp.py:68-95)
-        path = None if cfg.model_name in ("", "hash-64", None) else cfg.model_name
-        udf = _llama_udf(resolve_gguf_model(path))
+        # cfg.model_path is the GGUF path (reference surface); for
+        # backward-compat model_name may also carry it. The reference's
+        # default model ("hash-64" is our sandbox default sentinel)
+        # triggers the auto-download path (llama_cpp.py:68-95)
+        path = cfg.model_path or (
+            None if cfg.model_name in ("", "hash-64", None) else cfg.model_name
+        )
+        udf = _llama_udf(
+            resolve_gguf_model(path), cfg.n_ctx, cfg.n_threads, cfg.n_gpu_layers
+        )
     else:  # pragma: no cover - config validates
         raise ValueError(cfg.backend)
 

@@ -81,7 +81,10 @@ def score_windows_knn(
         )
     matrix = _collect_matrix(windows, list(id_cols))
     bc = spark.sparkContext.broadcast(matrix)
-    k, chunk = cfg.k_neighbors, cfg.scoring_chunk_size
+    # scoring_batch_size is the reference's explicit knob; when None the
+    # Spark-side default chunk applies (reference auto-detects by GPU)
+    k = cfg.k_neighbors
+    chunk = cfg.scoring_batch_size or cfg.scoring_chunk_size
     schema = T.StructType(windows.schema.fields + [_SCORE_FIELD])
 
     def score_partition(batches):

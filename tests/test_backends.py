@@ -64,8 +64,12 @@ def test_llama_batch_mocked(monkeypatch):
     fake = types.ModuleType("llama_cpp")
 
     class FakeLlama:
-        def __init__(self, model_path, embedding, verbose):
+        def __init__(self, model_path, embedding, n_ctx, n_threads, n_gpu_layers,
+                     n_batch, verbose):
             self.model_path = model_path
+            # reference constructor surface (llama_cpp.py:35-43)
+            assert n_batch == n_ctx
+            self.knobs = (n_ctx, n_threads, n_gpu_layers)
 
         def create_embedding(self, text):
             return {"data": [{"embedding": [1.0, 1.0, 1.0, 1.0]}]}
@@ -73,7 +77,8 @@ def test_llama_batch_mocked(monkeypatch):
     fake.Llama = FakeLlama
     monkeypatch.setitem(sys.modules, "llama_cpp", fake)
     E._llama_model_cache.clear()
-    mat = E.llama_embed_batch(["a", "b"], "fake.gguf")
+    mat = E.llama_embed_batch(["a", "b"], "fake.gguf", n_ctx=512, n_threads=2)
+    assert E._llama_model_cache["fake.gguf"].knobs == (512, 2, 0)
     assert mat.shape == (2, 4)
     assert np.allclose(np.linalg.norm(mat, axis=1), 1.0)  # llama_cpp.py:62-64
     # model cached once per worker

@@ -217,7 +217,7 @@ def test_cli_llama_backend_mocked_e2e(spark, tmp_path):
     fake_mod.write_text(
         "import hashlib\n"
         "class Llama:\n"
-        "    def __init__(self, model_path, embedding, verbose):\n"
+        "    def __init__(self, model_path, embedding, **kwargs):\n"
         "        pass\n"
         "    def create_embedding(self, text):\n"
         "        h = hashlib.md5(text.encode()).digest()\n"
@@ -547,3 +547,19 @@ def test_cli_warehouse_resume(spark, tmp_path):
     rc2 = main([str(p), "--output", str(out2), "--warehouse", wh, "--run-id", "rr", "--resume"])
     assert rc1 == 0 and rc2 == 0
     assert out1.read_text() == out2.read_text()  # resume reproduces output
+
+
+def test_cli_detailed_stats(spark, tmp_path, capsys):
+    """--detailed prints the reference-format statistics block
+    (cli.py:172-186)."""
+    from cordon_spark.cli import main
+
+    p = tmp_path / "d.log"
+    p.write_text("\n".join(["plain line here"] * 30 + ["WEIRD spike zz"]) + "\n")
+    rc = main([str(p), "--output", str(tmp_path / "o.txt"), "--detailed"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "Analysis Statistics:" in err
+    assert "Total windows created:" in err
+    assert "Score Distribution:" in err
+    assert "P90:" in err
