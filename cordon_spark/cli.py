@@ -108,6 +108,7 @@ def main(argv: list[str] | None = None) -> int:
     rc = 0
     for path in args.inputs:
         t0 = time.time()
+        res = None
         try:
             if path.endswith((".log", ".txt")):
                 transcripts = log_lines_as_transcript(spark, path)
@@ -127,21 +128,25 @@ def main(argv: list[str] | None = None) -> int:
                 tool_registry=tool_registry,
                 role_taxonomy=role_taxonomy,
             )
+            # render/collect/write stay inside the per-file guard: Spark
+            # is lazy, so executor failures can first surface HERE
+            rendered = render_blocks(transcripts, res.blocks)
+            parts = [
+                r.block_text
+                for r in rendered.orderBy("conv_id", "start_idx").collect()
+            ]
+            out_text = "\n\n".join(parts)
+            if args.output:
+                with open(args.output, "w", encoding="utf-8") as fh:
+                    fh.write(out_text)
+            else:
+                print(out_text)
         except Exception as exc:  # per-file failure -> nonzero exit, keep going
             print(f"error: {path}: {exc}", file=sys.stderr)
             rc = 1
+            if res is not None:
+                res.unpersist()
             continue
-        rendered = render_blocks(transcripts, res.blocks)
-        parts = [
-            r.block_text
-            for r in rendered.orderBy("conv_id", "start_idx").collect()
-        ]
-        out_text = "\n\n".join(parts)
-        if args.output:
-            with open(args.output, "w", encoding="utf-8") as fh:
-                fh.write(out_text)
-        else:
-            print(out_text)
         summary = dict(res.stats, seconds=round(time.time() - t0, 2), input=path)
         if args.detailed:  # reference cli.py:172-186 format
             print("\nAnalysis Statistics:", file=sys.stderr)

@@ -1045,8 +1045,11 @@ ORACLE_SQL = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "ann_lsh": SQL_ANN_LSH,
     "dedup_embedding_lsh": SQL_DEDUP_EMBEDDING_LSH,
-    # every queries() entry now has an exact DuckDB oracle: the
-    # md5-derived hash embedding, simhash bits, and LSH planes all
-    # reproduce bit-identically in SQL (hex-cast parity), so even the
-    # "approximate" operators are hash-checked end to end
+    # 29 of 30 queries have exact DuckDB oracles: the md5-derived hash
+    # embedding, simhash bits, and LSH planes all reproduce
+    # bit-identically in SQL (hex-cast parity), so even the
+    # "approximate" operators are hash-checked end to end. The one
+    # exception is ivf_ann (iterative k-means — the documented
+    # non-SQL-expressible carve-out; rows-only, pytest-verified against
+    # brute force).
 }

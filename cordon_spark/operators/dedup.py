@@ -77,7 +77,9 @@ def exact_dedup(
     key instead of the document — the 100 TB spelling (same groups up
     to md5 collisions, i.e. same in practice; asserted equal in tests).
     """
-    group = F.md5(F.coalesce(F.col(text_col), F.lit(""))) if key == "digest" else F.col(text_col)
+    # NULL text stays its own group under either key (md5(NULL) is NULL,
+    # matching groupBy-on-text semantics — no NULL/empty-string collapse)
+    group = F.md5(F.col(text_col)) if key == "digest" else F.col(text_col)
     return docs.groupBy(group.alias("_k")).agg(
         F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies")
     ).select(id_col, "n_copies")
@@ -285,6 +287,7 @@ def embedding_lsh_pairs(
     and verification touches only candidate pairs. Recall vs the exact
     all-pairs operator is asserted in tests."""
     from cordon_spark.operators.similarity import (
+        _dot,
         _hyperplanes,
         bucket_from_dots_col,
         probes_from_dots_col,
@@ -314,11 +317,7 @@ def embedding_lsh_pairs(
         "v_a",
         F.explode(probes_from_dots_col("_dots", n_planes, n_probes)).alias("bucket"),
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("v_a"), F.col("v_b"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = _dot(F.col("v_a"), F.col("v_b"))
     cands = (
         probe.join(build, on="bucket")
         .filter(F.col("vec_a") != F.col("vec_b"))
@@ -342,12 +341,10 @@ def embedding_cosine_pairs(
     JVM-side dot product via zip_with + aggregate (vectors pre-normalized).
     Exact O(n^2) — the oracle for embedding_lsh_pairs, which is the
     bucketed scale path."""
+    from cordon_spark.operators.similarity import _dot
+
     a, b = vectors.alias("a"), vectors.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
     pairs = a.join(
         F.broadcast(b), F.col(f"a.{id_col}") < F.col(f"b.{id_col}"), "inner"
     ).select(

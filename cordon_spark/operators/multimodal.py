@@ -100,7 +100,10 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 def sample_frame_indices(n_frames: int, n_samples: int) -> np.ndarray:
     """Deterministic uniform frame sampling: n_samples indices evenly
-    spread over [0, n_frames) (first frame always included)."""
+    spread over [0, n_frames) (first frame always included); zero-frame
+    media (corrupt/empty payload) yields no indices."""
+    if n_frames <= 0:
+        return np.zeros(0, dtype=np.int64)
     n_samples = max(1, min(n_samples, n_frames))
     return (np.arange(n_samples) * n_frames // n_samples).astype(np.int64)
 

@@ -95,6 +95,8 @@ def kmeans_fit(
         .toPandas()
         .sort_values(id_col)
     )
+    if len(init_pdf) == 0:  # empty corpus -> no clusters (caller guards)
+        return np.zeros((0, 0), dtype=np.float64)
     centroids = np.array(init_pdf[vec_col].tolist(), dtype=np.float64)
     k = centroids.shape[0]  # corpus smaller than k -> fewer clusters
 
@@ -173,6 +175,10 @@ def ivf_ann(
     cluster id; the (small) probe set is broadcast. Recall vs
     brute_force_topk asserted in tests, monotone in n_probe."""
     centroids = kmeans_fit(candidates, k=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col)
+    if centroids.shape[0] == 0:  # empty candidate corpus -> empty result
+        return queries.sparkSession.createDataFrame(
+            [], "qid long, rank long, nid long, dist double"
+        )
     n_probe = max(1, min(n_probe, centroids.shape[0]))
 
     cen_arrs = [F.array(*[F.lit(float(x)) for x in centroids[c]]) for c in range(centroids.shape[0])]
@@ -273,12 +279,13 @@ def bucket_from_dots_col(dots_col: str, n_planes: int):
     return _bucket_from_dots(F.col(dots_col), n_planes)
 
 
-def probes_from_dots_col(dots_col: str, n_planes: int, n_probes: int):
-    """array<long> of probe bucket keys from a MATERIALIZED dots column:
-    own bucket first, then bit-flips of the least-confident planes
-    (smallest |dot|) — multi-probe LSH (Lv et al., VLDB'07)."""
+def probes_from_dots_col(dots_col, n_planes: int, n_probes: int):
+    """array<long> of probe bucket keys from a MATERIALIZED dots column
+    (name or Column): own bucket first, then bit-flips of the
+    least-confident planes (smallest |dot|) — multi-probe LSH
+    (Lv et al., VLDB'07)."""
     n_probes = max(1, min(n_probes, n_planes + 1))
-    dots = F.col(dots_col)
+    dots = F.col(dots_col) if isinstance(dots_col, str) else dots_col
     base = _bucket_from_dots(dots, n_planes)
     if n_probes == 1:
         return F.array(base)
@@ -311,28 +318,12 @@ def probe_buckets_col(vec_col: str, planes: np.ndarray, n_probes: int):
     """array<long> of `n_probes` bucket keys for multi-probe LSH (own
     bucket first, then bit-flips of the least-confident planes). NOTE:
     single-use expression form — multi-use plans must go through
-    with_lsh_dots + probes_from_dots_col or the dots re-evaluate."""
-    n_planes = planes.shape[0]
-    n_probes = max(1, min(n_probes, n_planes + 1))
-    dots = _plane_dots_col(vec_col, planes)
-    base = _bucket_from_dots(dots, n_planes)
-    if n_probes == 1:
-        return F.array(base)
-    # planes ordered by |dot| ascending; struct sort orders by first field
-    order = F.array_sort(
-        F.array(
-            *[
-                F.struct(F.abs(dots[p]).alias("a"), F.lit(p).alias("p"))
-                for p in range(n_planes)
-            ]
-        )
+    with_lsh_dots + probes_from_dots_col or the dots re-evaluate.
+    Delegates to probes_from_dots_col so the probe construction exists
+    exactly once (the SQL oracle mirrors this one definition)."""
+    return probes_from_dots_col(
+        _plane_dots_col(vec_col, planes), planes.shape[0], n_probes
     )
-    bits = F.array(*[F.lit(1 << p).cast("long") for p in range(n_planes)])
-    flips = F.transform(
-        F.slice(order, 1, n_probes - 1),
-        lambda s: base.bitwiseXOR(F.element_at(bits, s["p"] + 1)),
-    )
-    return F.concat(F.array(base), flips)
 
 
 def lsh_ann(

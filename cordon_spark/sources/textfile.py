@@ -27,6 +27,7 @@ the main pipeline never needs this)."""
 from __future__ import annotations
 
 import codecs
+import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
@@ -88,8 +89,13 @@ def _read_lines_latin1(spark: SparkSession, path: str) -> DataFrame:
 
 def read_log_lines(spark: SparkSession, path: str) -> DataFrame:
     """(line_no 1-indexed, text raw) for a single log file; add
-    text_stripped with windowing.with_stripped_text for analysis."""
-    if not _is_valid_utf8(path):
+    text_stripped with windowing.with_stripped_text for analysis.
+
+    The latin-1 fallback probe needs local byte access, so it only runs
+    for local single-file paths (the reference's own scope —
+    reader.py:23 open()); hdfs://, s3a:// URIs and directories go
+    straight to spark.read.text (UTF-8), as before."""
+    if os.path.isfile(path) and not _is_valid_utf8(path):
         return _read_lines_latin1(spark, path)
     rdd = (
         spark.read.format("text")

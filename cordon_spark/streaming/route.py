@@ -121,16 +121,50 @@ def sessionize_stream(
         else:
             start_us = end_us = n = vsum = None  # no open session yet
         closed = []
+        # out-of-order events EARLIER than the open session (cross-batch
+        # stragglers still >= watermark) session-ize among themselves in
+        # a "pre-chain"; the final chain merges into the open session
+        # when it reaches within one gap of it — the same sessions the
+        # batch global sort would produce for these events
+        pre = None  # (start, end, n, vsum) of the open pre-chain
+
+        def close_pre(pre):
+            nonlocal start_us, end_us, n, vsum
+            if pre is None:
+                return
+            if start_us is not None and start_us - pre[1] <= gap_us:
+                start_us = min(start_us, pre[0])
+                n += pre[2]
+                vsum += pre[3]
+            else:
+                closed.append(pre)
+
         for t, v in zip(us, vals):
+            t = int(t)
+            v = float(v)
+            if start_us is not None and t < start_us - gap_us:
+                if pre is not None and t - pre[1] <= gap_us:
+                    pre = (pre[0], t, pre[2] + 1, pre[3] + v)
+                else:
+                    if pre is not None:
+                        closed.append(pre)
+                    pre = (t, t, 1, v)
+                continue
+            close_pre(pre)
+            pre = None
             if start_us is None:
-                start_us, end_us, n, vsum = int(t), int(t), 1, float(v)
+                start_us, end_us, n, vsum = t, t, 1, v
             elif t - end_us > gap_us:
                 closed.append((start_us, end_us, n, vsum))
-                start_us, end_us, n, vsum = int(t), int(t), 1, float(v)
+                start_us, end_us, n, vsum = t, t, 1, v
             else:
-                end_us = max(end_us, int(t))
+                # in-gap or mid-session: absorb, extending EITHER bound
+                # (batch semantics: the session covers min..max ts)
+                start_us = min(start_us, t)
+                end_us = max(end_us, t)
                 n += 1
-                vsum += float(v)
+                vsum += v
+        close_pre(pre)
         state.update((int(start_us), int(end_us), int(n), float(vsum)))
         # close the open session once the watermark passes its gap
         state.setTimeoutTimestamp((end_us + gap_us) // 1000)  # ms
@@ -234,8 +268,17 @@ def window_stream(
                 max_ms = max(max_ms, int(ser.astype("int64").max() // 1_000_000))
             idxs.extend(int(i) for i in pdf["turn_idx"])
             texts.extend(kernel.rstrip_text(t) for t in pdf["text"])
+        # dedup replayed/duplicate turn_idx (at-least-once sources):
+        # first occurrence wins within buffered+incoming. NOTE: a replay
+        # arriving AFTER its window already emitted still produces a
+        # second (partial) row — exactly-once needs an idempotent sink
+        # keyed on (conv_id, window_id), the standard streaming contract.
+        seen: set = set()
         groups: dict = {}
         for i, tx in zip(idxs, texts):
+            if i in seen:
+                continue
+            seen.add(i)
             groups.setdefault(i // window_size, []).append((i, tx))
         complete = sorted(
             (w, m) for w, m in groups.items() if len(m) >= window_size

@@ -172,3 +172,14 @@ def test_exact_dedup_digest_key_equivalent(spark, corpus):
         for r in D.exact_dedup(corpus, key="digest").collect()
     }
     assert by_text == by_digest
+
+
+def test_exact_dedup_digest_null_vs_empty(spark):
+    """NULL text and empty-string text stay separate groups under BOTH
+    keys (md5(NULL) is NULL; no NULL/'' collapse)."""
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": [None, "", ""]})
+    )
+    for key in ("text", "digest"):
+        got = {(r.doc_id, r.n_copies) for r in D.exact_dedup(docs, key=key).collect()}
+        assert got == {(0, 1), (1, 2)}, key

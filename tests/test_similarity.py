@@ -129,3 +129,14 @@ def test_normalize_zero_vector_passthrough(spark):
     df = spark.createDataFrame(pd.DataFrame({"vec_id": [0], "v": [[0.0, 0.0]]}))
     got = S.normalize(df, "v").first()
     assert list(got.v) == [0.0, 0.0]
+
+
+def test_ivf_ann_empty_candidates(spark):
+    import pandas as pd
+
+    empty = spark.createDataFrame(pd.DataFrame({"vec_id": [], "v": []}),
+                                  "vec_id long, v array<double>")
+    df, _ = _vec_df(spark, n=5, dim=4, seed=0)
+    out = S.ivf_ann(df, empty, k=3, n_clusters=4)
+    assert out.count() == 0
+    assert S.kmeans_fit(empty, k=4).shape == (0, 0)

@@ -476,6 +476,69 @@ def test_streaming_full_pipeline(spark, tmp_path):
     assert {r.sink for r in got} <= {"anomalous", "routine"}
 
 
+def test_streaming_sessionize_out_of_order_batches(spark, tmp_path):
+    """Cross-batch out-of-order events (still within the watermark) must
+    produce the same sessions as the batch operator on the globally
+    sorted data: in-gap stragglers extend the open session's START;
+    far-earlier stragglers form their own session."""
+    import datetime as dt
+
+    from cordon_spark.operators.events import sessionize
+    from cordon_spark.datagen import write_parquet
+    from cordon_spark.streaming.route import sessionize_stream
+
+    t0 = dt.datetime(2026, 1, 1)
+    gap = 60
+
+    def ev(eid, user, sec, val):
+        return (eid, user, t0 + dt.timedelta(seconds=sec), float(val))
+
+    # batch 1 establishes open sessions; batch 2 delivers stragglers:
+    #  u1: t=470 is within gap of its open session [500, 520] -> extends start
+    #  u2: t=100 is > gap before its open session [700, 720] -> own session
+    b1 = [ev("a1", "u1", 500, 1), ev("a2", "u1", 520, 1),
+          ev("b1", "u2", 700, 2), ev("b2", "u2", 720, 2)]
+    b2 = [ev("a3", "u1", 470, 1), ev("b3", "u2", 100, 2)]
+    sentinel = [ev("zz", "u3", 36000, 0)]
+    cols = ["event_id", "user_id", "ts", "value"]
+
+    src = tmp_path / "ooo_src"
+    src.mkdir()
+    write_parquet(pd.DataFrame(b1, columns=cols), str(src / "b0.parquet"))
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    out = sessionize_stream(stream, gap_seconds=gap, watermark="2 hours")
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("ooo_sessions")
+        .option("checkpointLocation", str(tmp_path / "oock"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_parquet(pd.DataFrame(b2, columns=cols), str(src / "b1.parquet"))
+        q.processAllAvailable()
+        write_parquet(pd.DataFrame(sentinel, columns=cols), str(src / "b2.parquet"))
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.session_start_us, r.session_end_us, r.n_events, r.value_sum)
+            for r in spark.sql(
+                "SELECT * FROM ooo_sessions WHERE user_id IN ('u1','u2')"
+            ).collect()
+        }
+    finally:
+        q.stop()
+
+    batch = sessionize(
+        spark.createDataFrame(pd.DataFrame(b1 + b2, columns=cols)), gap_seconds=gap
+    ).collect()
+    expect = {
+        (r.user_id, r.start_us, r.end_us, r.n_events, float(r.value_sum))
+        for r in batch
+    }
+    assert got == expect
+
+
 def test_cli_resume_across_processes(tmp_path):
     """--resume must work from a NEW process: run_id derives from a
     PYTHONHASHSEED-independent digest (kernel.stable_hash64), so the

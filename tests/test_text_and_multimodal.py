@@ -160,3 +160,30 @@ def test_sample_frames_fanout(spark):
     out = MM.sample_frames(media, 4, decode_fn=video_decoder).orderBy("frame_idx").collect()
     assert [(r.media_id, r.frame_idx) for r in out] == [(7, 0), (7, 2), (7, 5), (7, 7)]
     assert [bytes(r.payload)[0] for r in out] == [0, 2, 5, 7]
+
+
+def test_sample_frames_zero_frame_media(spark):
+    """Zero-frame (corrupt/empty) media yields no rows instead of
+    crashing the task."""
+    import numpy as np
+    import pandas as pd
+
+    from cordon_spark.operators import multimodal as MM
+
+    assert MM.sample_frame_indices(0, 4).tolist() == []
+
+    def video_decoder(kind, payload):
+        return [np.array([[b]], dtype=np.uint8) for b in payload]
+
+    pdf = pd.DataFrame(
+        {
+            "media_id": pd.Series([1, 2], dtype="int64"),
+            "kind": ["video", "video"],
+            "payload": [b"", bytes(range(4))],
+            "mime": ["video/raw"] * 2,
+            "meta": [{}, {}],
+        }
+    )
+    media = spark.createDataFrame(pdf, MM.MEDIA_SCHEMA)
+    out = MM.sample_frames(media, 2, decode_fn=video_decoder).collect()
+    assert {r.media_id for r in out} == {2}  # empty video contributes nothing
