@@ -73,7 +73,8 @@ class SemanticLogAnalyzer:
             templates=TEMPLATES if self.config.scorer == "centroid" else None,
         )
         try:
-            rendered = render_blocks(transcripts, res.blocks)
+            # 1-indexed line numbers in the tags, like the reference
+            rendered = render_blocks(transcripts, res.blocks, index_base=1)
             parts = [
                 r.block_text
                 for r in rendered.orderBy("conv_id", "start_idx").collect()

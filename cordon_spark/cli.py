@@ -129,8 +129,11 @@ def main(argv: list[str] | None = None) -> int:
                 role_taxonomy=role_taxonomy,
             )
             # render/collect/write stay inside the per-file guard: Spark
-            # is lazy, so executor failures can first surface HERE
-            rendered = render_blocks(transcripts, res.blocks)
+            # is lazy, so executor failures can first surface HERE.
+            # Log files render 1-INDEXED line numbers like the reference
+            # (formatter.py:54); transcript tables keep turn indices.
+            base = 1 if path.endswith((".log", ".txt")) else 0
+            rendered = render_blocks(transcripts, res.blocks, index_base=base)
             parts = [
                 r.block_text
                 for r in rendered.orderBy("conv_id", "start_idx").collect()

@@ -126,13 +126,20 @@ _BLOCK_SCHEMA = T.StructType(
 )
 
 
-def render_blocks(turns: DataFrame, blocks: DataFrame, text_col: str = "text") -> DataFrame:
+def render_blocks(
+    turns: DataFrame, blocks: DataFrame, text_col: str = "text", index_base: int = 0
+) -> DataFrame:
     """blocks + raw turn text -> rendered reference-format block strings.
 
     Broadcast range join pulls each block's raw lines; the per-block
     ordered join + Python %.4f rendering happens in one grouped pandas
     UDF over (conv_id, start_idx) groups (each group is <= a few
-    window_size spans of lines)."""
+    window_size spans of lines).
+
+    index_base shifts the rendered `lines="a-b"` numbers: log-file
+    inputs carry turn_idx = line_no - 1, and the reference renders
+    1-INDEXED line numbers (formatter.py:54) — pass index_base=1 there;
+    transcript tables keep their native 0-based turn indices."""
     b = blocks.select("conv_id", "start_idx", "end_idx", "max_score").alias("b")
     t = turns.select("conv_id", "turn_idx", F.col(text_col).alias("_raw")).alias("t")
     joined = t.join(
@@ -155,8 +162,8 @@ def render_blocks(turns: DataFrame, blocks: DataFrame, text_col: str = "text") -
         pdf = pdf.sort_values("turn_idx")
         head = pdf.iloc[0]
         text = kernel.format_block(
-            int(head["start_idx"]),
-            int(head["end_idx"]),
+            int(head["start_idx"]) + index_base,
+            int(head["end_idx"]) + index_base,
             float(head["max_score"]),
             [x if x is not None else "" for x in pdf["_raw"].tolist()],
         )
