@@ -236,3 +236,72 @@ def test_reader_differential(spark, ref, tmp_path):
         # reference rstrips at read time; we keep raw text and strip at
         # window time (OP-9) — compare after rstrip
         assert [(r.line_no, r.text.rstrip()) for r in got] == ref_lines, path
+
+
+def test_eval_metrics_differential(spark, ref):
+    """plans/evaluate matches the reference benchmark's metric functions
+    (benchmark/evaluate.py:272-369) under the documented mapping: our
+    template metrics treat every labeled template as ground truth
+    (anomaly_templates := all labeled templates)."""
+    import importlib.util
+
+    # evaluate.py does `from cordon import AnalysisConfig, SemanticLogAnalyzer`
+    # — attach them to the stub package (no torch import happens)
+    sys.modules["cordon"].AnalysisConfig = ref.config.AnalysisConfig
+    sys.modules["cordon"].SemanticLogAnalyzer = object
+    spec = importlib.util.spec_from_file_location(
+        "ref_evaluate", "/root/reference/benchmark/evaluate.py"
+    )
+    ev = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ev)
+
+    from cordon_spark.plans.evaluate import template_metrics, turn_level_metrics
+
+    rng = np.random.RandomState(5)
+    n = 200
+    tpl_pool = [f"T{i}" for i in range(12)]
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * n,
+            "turn_idx": pd.Series(range(n), dtype="int32"),
+            "is_anomaly": rng.rand(n) < 0.1,
+            "template_id": [tpl_pool[rng.randint(0, len(tpl_pool))] for _ in range(n)],
+        }
+    )
+    blocks_pdf = pd.DataFrame(
+        {"conv_id": ["c", "c", "c"], "start_idx": [10, 50, 120], "end_idx": [14, 61, 131]}
+    )
+    turns = spark.createDataFrame(pdf)
+    blocks = spark.createDataFrame(blocks_pdf)
+
+    # --- traditional line-level metrics -------------------------------
+    ours = turn_level_metrics(turns, blocks)
+    flagged_ranges = [(r.start_idx, r.end_idx) for r in blocks_pdf.itertuples()]
+    anomaly_lines = set(pdf[pdf.is_anomaly].turn_idx.tolist())
+    theirs = ev.evaluate_traditional_metrics(flagged_ranges, anomaly_lines, n)
+    assert ours["tp"] == theirs["true_positives"]
+    assert ours["fp"] == theirs["false_positives"]
+    assert ours["fn"] == theirs["false_negatives"]
+    assert ours["precision"] == pytest.approx(theirs["precision"])
+    assert ours["recall"] == pytest.approx(theirs["recall"])
+    assert ours["f1"] == pytest.approx(theirs["f1"])
+
+    # --- template metrics ---------------------------------------------
+    rare_thr = 15
+    ours_t = template_metrics(turns, blocks, rare_threshold=rare_thr)
+    flagged_lines = {
+        i for s, e in flagged_ranges for i in range(s, e + 1)
+    }
+    flagged_templates = set(pdf[pdf.turn_idx.isin(flagged_lines)].template_id)
+    all_templates = set(pdf.template_id)
+    counts = pdf.template_id.value_counts().to_dict()
+    cov = ev.evaluate_template_coverage(flagged_templates, all_templates)
+    assert ours_t["n_templates"] == cov["unique_templates_total"]
+    assert ours_t["template_coverage"] == pytest.approx(cov["template_recall"])
+    rare = ev.evaluate_rare_template_detection(
+        flagged_templates, counts, all_templates, threshold=rare_thr
+    )
+    assert ours_t["rare_templates"] == rare["rare_templates_total"]
+    assert ours_t["rare_template_recall"] == pytest.approx(rare["rare_template_recall"])
+    wrec = ev.evaluate_frequency_weighted_recall(flagged_templates, counts, all_templates)
+    assert ours_t["weighted_recall"] == pytest.approx(wrec)
