@@ -96,7 +96,7 @@ def main(argv: list[str] | None = None) -> int:
     from cordon_spark.operators.routing import render_blocks
     from cordon_spark.session import get_spark
     from cordon_spark.sources.catalog import SnapshotCatalog
-    from cordon_spark.sources.textfile import log_lines_as_transcript
+    from cordon_spark.sources.transcripts import read_transcripts
 
     spark = get_spark("cordon_spark_cli", master=args.master)
     catalog = SnapshotCatalog(args.warehouse) if args.warehouse else None
@@ -110,10 +110,8 @@ def main(argv: list[str] | None = None) -> int:
         t0 = time.time()
         res = None
         try:
-            if path.endswith((".log", ".txt")):
-                transcripts = log_lines_as_transcript(spark, path)
-            else:
-                transcripts = spark.read.parquet(path)
+            # parquet / jsonl / csv / raw log, by extension
+            transcripts = read_transcripts(spark, path)
             res = analyze_transcripts(
                 spark,
                 transcripts,
@@ -132,7 +130,9 @@ def main(argv: list[str] | None = None) -> int:
             # is lazy, so executor failures can first surface HERE.
             # Log files render 1-INDEXED line numbers like the reference
             # (formatter.py:54); transcript tables keep turn indices.
-            base = 1 if path.endswith((".log", ".txt")) else 0
+            from cordon_spark.sources.transcripts import _RAW_LOG_SUFFIXES
+
+            base = 1 if path.lower().endswith(_RAW_LOG_SUFFIXES) else 0
             rendered = render_blocks(transcripts, res.blocks, index_base=base)
             parts = [
                 r.block_text

@@ -92,10 +92,13 @@ def read_log_lines(spark: SparkSession, path: str) -> DataFrame:
     text_stripped with windowing.with_stripped_text for analysis.
 
     The latin-1 fallback probe needs local byte access, so it only runs
-    for local single-file paths (the reference's own scope —
-    reader.py:23 open()); hdfs://, s3a:// URIs and directories go
-    straight to spark.read.text (UTF-8), as before."""
-    if os.path.isfile(path) and not _is_valid_utf8(path):
+    for local single-file UNCOMPRESSED paths (the reference's own scope —
+    reader.py:23 open()); hdfs://, s3a:// URIs, directories and
+    compressed files (.gz/.bz2/...: Spark's text reader decompresses
+    them itself — probing the raw compressed bytes would misroute them
+    to latin-1) go straight to spark.read.text (UTF-8)."""
+    compressed = path.endswith((".gz", ".bz2", ".zst", ".lz4", ".snappy", ".deflate"))
+    if os.path.isfile(path) and not compressed and not _is_valid_utf8(path):
         return _read_lines_latin1(spark, path)
     rdd = (
         spark.read.format("text")

@@ -626,3 +626,58 @@ def test_cli_detailed_stats(spark, tmp_path, capsys):
     assert "Total windows created:" in err
     assert "Score Distribution:" in err
     assert "P90:" in err
+
+
+def test_read_transcripts_formats_equivalent(spark, tmp_path):
+    """parquet / JSON-lines / CSV serializations of the same transcripts
+    read into identical canonical rows (schema enforced, not inferred)."""
+    from cordon_spark.datagen import generate_transcripts, write_parquet
+    from cordon_spark.sources.transcripts import read_transcripts
+
+    pdf, _ = generate_transcripts(n_convs=2, mean_turns=15, seed=6, with_edge_cases=False)
+    pq = tmp_path / "t.parquet"
+    write_parquet(pdf, str(pq))
+    jl = tmp_path / "t.jsonl"
+    jpdf = pdf.copy()
+    jpdf["ts"] = jpdf["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S")
+    jl.write_text("\n".join(jpdf.to_json(orient="records", lines=True).splitlines()) + "\n")
+    cv = tmp_path / "t.csv"
+    cpdf = pdf.copy()
+    cpdf["ts"] = cpdf["ts"].dt.strftime("%Y-%m-%d %H:%M:%S")
+    cpdf.to_csv(cv, index=False)
+
+    def rows(path):
+        df = read_transcripts(spark, str(path))
+        assert df.columns[:6] == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        return sorted(
+            (r.conv_id, r.turn_idx, r.role, r.text, r.tool, r.ts) for r in df.collect()
+        )
+
+    base = rows(pq)
+    assert rows(jl) == base
+    assert rows(cv) == base
+
+
+def test_read_transcripts_missing_required_column(spark, tmp_path):
+    from cordon_spark.sources.transcripts import read_transcripts
+
+    p = tmp_path / "bad.parquet"
+    pd.DataFrame({"text": ["x"]}).to_parquet(p)
+    with pytest.raises(ValueError, match="missing required column"):
+        read_transcripts(spark, str(p))
+
+
+def test_gzipped_log_reads_like_plain(spark, tmp_path):
+    """.log.gz decompresses through spark.read.text — the latin-1 probe
+    must NOT run on the compressed bytes."""
+    import gzip
+
+    lines = ["plain line one", "unicode café line", "third line"]
+    plain = tmp_path / "a.log"
+    plain.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    gz = tmp_path / "a.log.gz"
+    gz.write_bytes(gzip.compress(("\n".join(lines) + "\n").encode("utf-8")))
+
+    got_plain = [r.text for r in read_log_lines(spark, str(plain)).orderBy("line_no").collect()]
+    got_gz = [r.text for r in read_log_lines(spark, str(gz)).orderBy("line_no").collect()]
+    assert got_plain == got_gz == lines
