@@ -210,7 +210,11 @@ def llama_embed_batch(
     mockability (reference tests/test_llama_cpp.py:13-47)."""
     import llama_cpp  # import-gated
 
-    model = _llama_model_cache.get(model_path)
+    # cache key includes the construction knobs: a long-lived worker
+    # serving a second job with different n_ctx must NOT silently reuse
+    # a model built with the old context size
+    cache_key = (model_path, n_ctx, n_threads, n_gpu_layers)
+    model = _llama_model_cache.get(cache_key)
     if model is None:
         model = llama_cpp.Llama(
             model_path=model_path,
@@ -221,7 +225,7 @@ def llama_embed_batch(
             n_batch=n_ctx,
             verbose=False,
         )
-        _llama_model_cache[model_path] = model
+        _llama_model_cache[cache_key] = model
     out = []
     for text in texts:
         emb = np.asarray(

@@ -84,8 +84,9 @@ def with_fingerprint(
     from cordon_spark.operators.dedup import with_shingles
 
     step = with_shingles(df, n, text_col, out="_sh")
+    # _sh is already a materialized attribute; the when-wrapped array is
+    # referenced exactly once below, so no further barrier is needed
     sh = F.when(F.size("_sh") == 0, F.array(F.lit(""))).otherwise(F.col("_sh"))
-    step = step.withColumn("_sh2", F.explode(F.array(sh)))
     return step.withColumn(
-        out, F.array_min(F.transform(F.col("_sh2"), lambda s: F.md5(s)))
-    ).drop("_sh", "_sh2")
+        out, F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    ).drop("_sh")

@@ -176,9 +176,20 @@ def ivf_ann(
     brute_force_topk asserted in tests, monotone in n_probe."""
     centroids = kmeans_fit(candidates, k=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col)
     if centroids.shape[0] == 0:  # empty candidate corpus -> empty result
-        return queries.sparkSession.createDataFrame(
-            [], "qid long, rank long, nid long, dist double"
+        # schema mirrors the non-empty path: qid/nid carry id_col's
+        # actual type (string ids union/join cleanly with shard results)
+        from pyspark.sql import types as T
+
+        id_type = queries.schema[id_col].dataType
+        empty_schema = T.StructType(
+            [
+                T.StructField("qid", id_type),
+                T.StructField("rank", T.IntegerType()),
+                T.StructField("nid", id_type),
+                T.StructField("dist", T.DoubleType()),
+            ]
         )
+        return queries.sparkSession.createDataFrame([], empty_schema)
     n_probe = max(1, min(n_probe, centroids.shape[0]))
 
     cen_arrs = [F.array(*[F.lit(float(x)) for x in centroids[c]]) for c in range(centroids.shape[0])]

@@ -97,7 +97,9 @@ def read_log_lines(spark: SparkSession, path: str) -> DataFrame:
     compressed files (.gz/.bz2/...: Spark's text reader decompresses
     them itself — probing the raw compressed bytes would misroute them
     to latin-1) go straight to spark.read.text (UTF-8)."""
-    compressed = path.endswith((".gz", ".bz2", ".zst", ".lz4", ".snappy", ".deflate"))
+    compressed = path.lower().endswith(
+        (".gz", ".bz2", ".zst", ".lz4", ".snappy", ".deflate")
+    )
     if os.path.isfile(path) and not compressed and not _is_valid_utf8(path):
         return _read_lines_latin1(spark, path)
     rdd = (

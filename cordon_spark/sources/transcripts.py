@@ -54,15 +54,32 @@ def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
 
         return log_lines_as_transcript(spark, path)
     if lower.endswith((".jsonl", ".json", ".jsonl.gz", ".json.gz")):
+        # imposed schema = single pass (no inference scan); JSON maps
+        # fields BY NAME, so wrong/missing field names surface as nulls —
+        # the probe below turns that into a loud error
         df = spark.read.schema(TRANSCRIPT_SCHEMA).json(path)
-        return _canonical(df)
+        return _validated(_canonical(df), path)
     if lower.endswith((".csv", ".csv.gz")):
-        df = (
-            spark.read.schema(TRANSCRIPT_SCHEMA)
-            .option("header", "true")
-            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
-            .csv(path)
-        )
-        return _canonical(df)
+        # header names drive the mapping (read as all-string columns,
+        # then cast by NAME in _canonical): an imposed schema would bind
+        # CSV columns POSITIONALLY and silently mis-assign a reordered
+        # file. Still a single pass — no inferSchema.
+        df = spark.read.option("header", "true").csv(path)
+        return _validated(_canonical(df), path)
     # default: parquet (directory or file)
     return _canonical(spark.read.parquet(path))
+
+
+def _validated(df: DataFrame, path: str) -> DataFrame:
+    """Loud failure for schema-on-read formats: a file whose records use
+    different field names yields all-null required columns (JSON maps by
+    name; CSV headers may simply not match). limit(1) early-terminates,
+    so the probe costs ~one row at any scale."""
+    bad = df.filter(F.col("conv_id").isNull() | F.col("turn_idx").isNull()).limit(1)
+    if bad.count() > 0:
+        raise ValueError(
+            f"transcripts input {path!r} has rows with NULL conv_id/turn_idx "
+            "— field names likely don't match the transcript schema "
+            "(conv_id, turn_idx, role, text, tool, ts)"
+        )
+    return df

@@ -68,7 +68,10 @@ SESSION_SCHEMA = T.StructType(
     ]
 )
 
-_SESSION_STATE_SCHEMA = "start_us long, end_us long, n long, vsum double"
+_SESSION_STATE_SCHEMA = (
+    "start_us long, end_us long, n long, vsum double, "
+    "pre_start long, pre_end long, pre_n long, pre_vsum double"
+)
 
 
 def sessionize_stream(
@@ -95,18 +98,26 @@ def sessionize_stream(
 
     def update(key, pdfs, state):
         user = key[0]
-        if state.hasTimedOut:
-            start_us, end_us, n, vsum = state.get
-            state.remove()
-            yield pd.DataFrame(
+
+        def emit_rows(sessions):
+            return pd.DataFrame(
                 {
-                    "user_id": [user],
-                    "session_start_us": [start_us],
-                    "session_end_us": [end_us],
-                    "n_events": [n],
-                    "value_sum": [vsum],
+                    "user_id": [user] * len(sessions),
+                    "session_start_us": [s[0] for s in sessions],
+                    "session_end_us": [s[1] for s in sessions],
+                    "n_events": [s[2] for s in sessions],
+                    "value_sum": [s[3] for s in sessions],
                 }
             )
+
+        if state.hasTimedOut:
+            start_us, end_us, n, vsum, p_s, p_e, p_n, p_v = state.get
+            state.remove()
+            out = []
+            if p_n and p_n > 0:
+                out.append((p_s, p_e, p_n, p_v))
+            out.append((start_us, end_us, n, vsum))
+            yield emit_rows(out)
             return
         rows = pd.concat(list(pdfs), ignore_index=True)
         ser = rows[ts_col]
@@ -117,19 +128,27 @@ def sessionize_stream(
         us = us[order]
         vals = rows["value"].to_numpy()[order]
         if state.exists:
-            start_us, end_us, n, vsum = state.get
+            start_us, end_us, n, vsum, p_s, p_e, p_n, p_v = state.get
+            pre = (p_s, p_e, p_n, p_v) if p_n and p_n > 0 else None
         else:
             start_us = end_us = n = vsum = None  # no open session yet
+            pre = None
         closed = []
-        # out-of-order events EARLIER than the open session (cross-batch
+        # Out-of-order events EARLIER than the open session (cross-batch
         # stragglers still >= watermark) session-ize among themselves in
-        # a "pre-chain"; the final chain merges into the open session
-        # when it reaches within one gap of it — the same sessions the
-        # batch global sort would produce for these events
-        pre = None  # (start, end, n, vsum) of the open pre-chain
+        # a "pre-chain". The chain is HELD IN STATE across micro-batches
+        # (not emitted eagerly — eager emission fragmented a straggler
+        # session split across batches) and resolves when the watermark
+        # times the key out, or by merging into the open session when it
+        # reaches within one gap of it. One held chain bounds the state;
+        # an even-earlier straggler below the held chain's own gap
+        # window emits standalone (bounded-state policy).
 
-        def close_pre(pre):
-            nonlocal start_us, end_us, n, vsum
+        def resolve_pre(pre):
+            """Merge the chain into the open session if within gap,
+            else emit it closed. Used when a main-range event arrives
+            (later in-batch events can no longer extend the chain)."""
+            nonlocal start_us, n, vsum
             if pre is None:
                 return
             if start_us is not None and start_us - pre[1] <= gap_us:
@@ -143,14 +162,18 @@ def sessionize_stream(
             t = int(t)
             v = float(v)
             if start_us is not None and t < start_us - gap_us:
-                if pre is not None and t - pre[1] <= gap_us:
-                    pre = (pre[0], t, pre[2] + 1, pre[3] + v)
-                else:
-                    if pre is not None:
-                        closed.append(pre)
+                if pre is None:
+                    pre = (t, t, 1, v)
+                elif pre[0] - gap_us <= t <= pre[1] + gap_us:
+                    pre = (min(pre[0], t), max(pre[1], t), pre[2] + 1, pre[3] + v)
+                elif t < pre[0] - gap_us:
+                    # deeper straggler below the held chain: standalone
+                    closed.append((t, t, 1, v))
+                else:  # t > pre_end + gap: chain closed by a later gap
+                    closed.append(pre)
                     pre = (t, t, 1, v)
                 continue
-            close_pre(pre)
+            resolve_pre(pre)
             pre = None
             if start_us is None:
                 start_us, end_us, n, vsum = t, t, 1, v
@@ -164,20 +187,26 @@ def sessionize_stream(
                 end_us = max(end_us, t)
                 n += 1
                 vsum += v
-        close_pre(pre)
-        state.update((int(start_us), int(end_us), int(n), float(vsum)))
+        # final merge check; an unmergeable chain is HELD for the next
+        # batch (cross-batch stragglers of the same early session)
+        held = (0, 0, 0, 0.0)
+        if pre is not None:
+            if start_us is not None and start_us - pre[1] <= gap_us:
+                start_us = min(start_us, pre[0])
+                n += pre[2]
+                vsum += pre[3]
+            else:
+                held = pre
+        state.update(
+            (
+                int(start_us), int(end_us), int(n), float(vsum),
+                int(held[0]), int(held[1]), int(held[2]), float(held[3]),
+            )
+        )
         # close the open session once the watermark passes its gap
         state.setTimeoutTimestamp((end_us + gap_us) // 1000)  # ms
         if closed:
-            yield pd.DataFrame(
-                {
-                    "user_id": [user] * len(closed),
-                    "session_start_us": [c[0] for c in closed],
-                    "session_end_us": [c[1] for c in closed],
-                    "n_events": [c[2] for c in closed],
-                    "value_sum": [c[3] for c in closed],
-                }
-            )
+            yield emit_rows(closed)
 
     # watermarks require TIMESTAMP (tz-aware); parquet NTZ columns cast up
     events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))

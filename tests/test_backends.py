@@ -78,11 +78,14 @@ def test_llama_batch_mocked(monkeypatch):
     monkeypatch.setitem(sys.modules, "llama_cpp", fake)
     E._llama_model_cache.clear()
     mat = E.llama_embed_batch(["a", "b"], "fake.gguf", n_ctx=512, n_threads=2)
-    assert E._llama_model_cache["fake.gguf"].knobs == (512, 2, 0)
+    assert E._llama_model_cache[("fake.gguf", 512, 2, 0)].knobs == (512, 2, 0)
     assert mat.shape == (2, 4)
+    # different knobs -> different cached model (no silent reuse)
+    E.llama_embed_batch(["a"], "fake.gguf", n_ctx=1024, n_threads=2)
+    assert ("fake.gguf", 1024, 2, 0) in E._llama_model_cache
     assert np.allclose(np.linalg.norm(mat, axis=1), 1.0)  # llama_cpp.py:62-64
-    # model cached once per worker
-    assert len(E._llama_model_cache) == 1
+    # model cached per (path, knobs) per worker
+    assert len(E._llama_model_cache) == 2
 
 
 def test_llama_factory():

@@ -499,6 +499,9 @@ def test_streaming_sessionize_out_of_order_batches(spark, tmp_path):
     b1 = [ev("a1", "u1", 500, 1), ev("a2", "u1", 520, 1),
           ev("b1", "u2", 700, 2), ev("b2", "u2", 720, 2)]
     b2 = [ev("a3", "u1", 470, 1), ev("b3", "u2", 100, 2)]
+    # b2b: ANOTHER straggler of u2's early session in a LATER batch —
+    # must extend the held pre-chain, not fragment into a second session
+    b2b = [ev("b4", "u2", 130, 2)]
     sentinel = [ev("zz", "u3", 36000, 0)]
     cols = ["event_id", "user_id", "ts", "value"]
 
@@ -518,6 +521,8 @@ def test_streaming_sessionize_out_of_order_batches(spark, tmp_path):
         q.processAllAvailable()
         write_parquet(pd.DataFrame(b2, columns=cols), str(src / "b1.parquet"))
         q.processAllAvailable()
+        write_parquet(pd.DataFrame(b2b, columns=cols), str(src / "b1b.parquet"))
+        q.processAllAvailable()
         write_parquet(pd.DataFrame(sentinel, columns=cols), str(src / "b2.parquet"))
         q.processAllAvailable()
         got = {
@@ -530,7 +535,7 @@ def test_streaming_sessionize_out_of_order_batches(spark, tmp_path):
         q.stop()
 
     batch = sessionize(
-        spark.createDataFrame(pd.DataFrame(b1 + b2, columns=cols)), gap_seconds=gap
+        spark.createDataFrame(pd.DataFrame(b1 + b2 + b2b, columns=cols)), gap_seconds=gap
     ).collect()
     expect = {
         (r.user_id, r.start_us, r.end_us, r.n_events, float(r.value_sum))
