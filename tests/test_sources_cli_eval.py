@@ -686,3 +686,33 @@ def test_gzipped_log_reads_like_plain(spark, tmp_path):
     got_plain = [r.text for r in read_log_lines(spark, str(plain)).orderBy("line_no").collect()]
     got_gz = [r.text for r in read_log_lines(spark, str(gz)).orderBy("line_no").collect()]
     assert got_plain == got_gz == lines
+
+
+def test_read_transcripts_csv_reordered_columns(spark, tmp_path):
+    """CSV columns map by HEADER NAME, not position — a reordered file
+    must read correctly (an imposed schema would bind positionally and
+    silently mis-assign)."""
+    from cordon_spark.sources.transcripts import read_transcripts
+
+    p = tmp_path / "reordered.csv"
+    p.write_text(
+        "text,conv_id,turn_idx,role,tool,ts\n"
+        "hello world,c0,0,user,bash,2026-01-01 00:00:00\n"
+        "second turn,c0,1,assistant,,2026-01-01 00:00:07\n"
+    )
+    got = read_transcripts(spark, str(p)).orderBy("turn_idx").collect()
+    assert [(r.conv_id, r.turn_idx, r.role, r.text) for r in got] == [
+        ("c0", 0, "user", "hello world"),
+        ("c0", 1, "assistant", "second turn"),
+    ]
+
+
+def test_read_transcripts_jsonl_wrong_field_names_errors(spark, tmp_path):
+    """JSON with wrong field names surfaces as a loud error, not silent
+    all-null required columns."""
+    from cordon_spark.sources.transcripts import read_transcripts
+
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"conversation": "c0", "idx": 0, "text": "x"}\n')
+    with pytest.raises(ValueError, match="NULL conv_id/turn_idx"):
+        read_transcripts(spark, str(p))
