@@ -52,7 +52,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warehouse", default=None, help="snapshot catalog root (enables resume)")
     p.add_argument("--run-id", default="cli")
     p.add_argument("--resume", action="store_true")
-    p.add_argument("--output", default=None, help="write rendered blocks here")
+    p.add_argument("--output", "-o", default=None, help="write rendered blocks here")
+    p.add_argument("--output-table", default=None,
+                   help="write rendered blocks to this catalog table (distributed; "
+                        "requires --warehouse). Use instead of --output/stdout when "
+                        "the block set is too large to collect to the driver.")
+    p.add_argument("--max-render-rows", type=int, default=1_000_000,
+                   help="refuse to collect more rendered blocks than this to the "
+                        "driver (--output/stdout paths); use --output-table beyond it")
     p.add_argument("--json", action="store_true", help="print stats as JSON")
     p.add_argument("--tool-registry", default=None,
                    help="parquet dim (tool, tool_category, risk_level) joined onto routed turns")
@@ -91,6 +98,9 @@ def main(argv: list[str] | None = None) -> int:
     except ValueError as exc:  # eager validation, reference cli.py:262-283
         print(f"error: {exc}", file=sys.stderr)
         return 2
+    if args.output_table and not args.warehouse:
+        print("error: --output-table requires --warehouse", file=sys.stderr)
+        return 2
 
     from cordon_spark.plans.pipeline import analyze_transcripts
     from cordon_spark.operators.routing import render_blocks
@@ -100,8 +110,19 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("cordon_spark_cli", master=args.master)
     catalog = SnapshotCatalog(args.warehouse) if args.warehouse else None
-    tool_registry = spark.read.parquet(args.tool_registry) if args.tool_registry else None
-    role_taxonomy = spark.read.parquet(args.role_taxonomy) if args.role_taxonomy else None
+    # Eager dim-table validation (same clean-error contract as config): a
+    # bad path here should not abort the whole run with a raw traceback.
+    tool_registry = role_taxonomy = None
+    try:
+        if args.tool_registry:
+            tool_registry = spark.read.parquet(args.tool_registry)
+            tool_registry.schema  # force analysis (path existence) eagerly
+        if args.role_taxonomy:
+            role_taxonomy = spark.read.parquet(args.role_taxonomy)
+            role_taxonomy.schema
+    except Exception as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
 
     from cordon_spark.kernel import stable_hash64
 
@@ -134,16 +155,36 @@ def main(argv: list[str] | None = None) -> int:
 
             base = 1 if path.lower().endswith(_RAW_LOG_SUFFIXES) else 0
             rendered = render_blocks(transcripts, res.blocks, index_base=base)
-            parts = [
-                r.block_text
-                for r in rendered.orderBy("conv_id", "start_idx").collect()
-            ]
-            out_text = "\n\n".join(parts)
-            if args.output:
-                with open(args.output, "w", encoding="utf-8") as fh:
-                    fh.write(out_text)
+            if args.output_table:
+                # Distributed sink: never collects to the driver — the
+                # 100 TB path when blocks are not a driver-sized minority.
+                catalog.write_snapshot(
+                    rendered, args.output_table,
+                    snapshot_id=f"{args.run_id}-{stable_hash64(path) % 10**8}",
+                    lineage={"input": path, "stage": "rendered_blocks"},
+                )
             else:
-                print(out_text)
+                # Driver-side render (reference-parity stdout/--output):
+                # guarded by a cheap count probe so a fat block set fails
+                # with a pointer instead of OOMing the driver.
+                n_blocks = rendered.count()
+                if n_blocks > args.max_render_rows:
+                    raise RuntimeError(
+                        f"{n_blocks} rendered blocks exceed --max-render-rows="
+                        f"{args.max_render_rows}; use --output-table (with "
+                        "--warehouse) for a distributed write instead of "
+                        "collecting to the driver"
+                    )
+                parts = [
+                    r.block_text
+                    for r in rendered.orderBy("conv_id", "start_idx").collect()
+                ]
+                out_text = "\n\n".join(parts)
+                if args.output:
+                    with open(args.output, "w", encoding="utf-8") as fh:
+                        fh.write(out_text)
+                else:
+                    print(out_text)
         except Exception as exc:  # per-file failure -> nonzero exit, keep going
             print(f"error: {path}: {exc}", file=sys.stderr)
             rc = 1

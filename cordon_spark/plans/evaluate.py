@@ -189,16 +189,72 @@ def evaluate_runs(
     sample_size: int | None = None,
     seed: int = 42,
     templates: list | None = None,
+    output_dir: str | None = None,
+    resume: bool = False,
     **metric_kwargs,
 ) -> dict:
     """Multi-run harness: each run samples a fresh seeded contiguous
     slice, runs the pipeline, and the per-run metrics aggregate to
-    mean/std (reference aggregate_results, evaluate.py:460-486)."""
+    mean/std (reference aggregate_results, evaluate.py:460-486).
+
+    With `output_dir`, per-run results persist as
+    `<output_dir>/run_NNN/results_runNNN.json` plus a `parameters.yaml`
+    recording the seed — and `resume=True` restarts a killed sweep from
+    the first MISSING run instead of run 1 (reference
+    benchmark/evaluate.py:898-965: existing run_* dirs are counted, the
+    original seed is reloaded from parameters.yaml so the remaining
+    runs sample the exact slices the uninterrupted sweep would have).
+    Run i's sample depends only on seed+i, so skip-and-continue is
+    exact, not approximate."""
+    import json
+    from pathlib import Path
+
+    out_dir = Path(output_dir) if output_dir else None
+    if out_dir is not None:
+        if resume and (out_dir / "parameters.yaml").exists():
+            import yaml
+
+            params = yaml.safe_load((out_dir / "parameters.yaml").read_text())
+            seed = params.get("seed", seed)  # original seed wins
+        out_dir.mkdir(parents=True, exist_ok=True)
+        if not (out_dir / "parameters.yaml").exists():
+            import yaml
+
+            (out_dir / "parameters.yaml").write_text(
+                yaml.safe_dump({"seed": seed, "sample_size": sample_size, "runs": n_runs})
+            )
     results = []
     for i in range(n_runs):
+        if out_dir is not None:
+            run_file = out_dir / f"run_{i:03d}" / f"results_run{i:03d}.json"
+            if resume and run_file.exists():
+                results.append(json.loads(run_file.read_text()))
+                continue
         sampled = contiguous_sample(turns, sample_size, seed + i)
-        results.append(evaluate_run(spark, sampled, cfg, templates=templates, **metric_kwargs))
+        res = evaluate_run(spark, sampled, cfg, templates=templates, **metric_kwargs)
+        if out_dir is not None:
+            run_file.parent.mkdir(parents=True, exist_ok=True)
+            tmp = run_file.with_suffix(".json.tmp")
+            tmp.write_text(json.dumps(res, indent=1))
+            tmp.replace(run_file)  # atomic: a mid-write kill leaves no run_file
+        results.append(res)
     return aggregate_results(results)
+
+
+def load_dataset_config(dataset_id: str, manifest_path: str) -> dict:
+    """Load one dataset's config from a YAML manifest with the
+    reference's shape (benchmark/datasets.yaml: a top-level `datasets`
+    map of id -> {name, url, log_file, ...}); unknown ids raise with
+    the available ids listed (reference evaluate.py:29-38)."""
+    import yaml
+
+    with open(manifest_path) as fh:
+        manifest = yaml.safe_load(fh)
+    datasets = manifest.get("datasets", {})
+    if dataset_id not in datasets:
+        available = ", ".join(sorted(datasets))
+        raise ValueError(f"Unknown dataset '{dataset_id}'. Available: {available}")
+    return datasets[dataset_id]
 
 
 _AGG_KEYS = [

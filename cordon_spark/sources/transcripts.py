@@ -22,10 +22,20 @@ TRANSCRIPT_SCHEMA = T.StructType(
     ]
 )
 
-_RAW_LOG_SUFFIXES = (
-    ".log", ".txt",
-    ".log.gz", ".txt.gz", ".log.bz2", ".txt.bz2",
-)
+# Compression suffixes Spark's text/json/csv readers decode natively via
+# Hadoop codecs (gz/bz2 always; zst/lz4 with the bundled codec jars).
+_COMPRESSION_EXTS = (".gz", ".bz2", ".zst", ".lz4")
+
+
+def _with_compression(*stems: str) -> tuple[str, ...]:
+    return tuple(stems) + tuple(
+        f"{stem}{ext}" for stem in stems for ext in _COMPRESSION_EXTS
+    )
+
+
+_RAW_LOG_SUFFIXES = _with_compression(".log", ".txt")
+_JSONL_SUFFIXES = _with_compression(".jsonl", ".json")
+_CSV_SUFFIXES = _with_compression(".csv")
 
 
 def _canonical(df: DataFrame) -> DataFrame:
@@ -53,13 +63,13 @@ def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
         from cordon_spark.sources.textfile import log_lines_as_transcript
 
         return log_lines_as_transcript(spark, path)
-    if lower.endswith((".jsonl", ".json", ".jsonl.gz", ".json.gz")):
+    if lower.endswith(_JSONL_SUFFIXES):
         # imposed schema = single pass (no inference scan); JSON maps
         # fields BY NAME, so wrong/missing field names surface as nulls —
         # the probe below turns that into a loud error
         df = spark.read.schema(TRANSCRIPT_SCHEMA).json(path)
         return _validated(_canonical(df), path)
-    if lower.endswith((".csv", ".csv.gz")):
+    if lower.endswith(_CSV_SUFFIXES):
         # header names drive the mapping (read as all-string columns,
         # then cast by NAME in _canonical): an imposed schema would bind
         # CSV columns POSITIONALLY and silently mis-assign a reordered

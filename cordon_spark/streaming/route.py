@@ -91,7 +91,19 @@ def sessionize_stream(
     once on the user key — the canonical keyed-state shape that holds at
     any executor count. Timeout = event-time, so sessions close exactly
     when the watermark passes their gap horizon; late rows beyond the
-    watermark are dropped by the engine."""
+    watermark are dropped by the engine.
+
+    Bounded-state divergence from batch `operators.events.sessionize`:
+    ONE out-of-order "pre-chain" (events earlier than the open session)
+    is held in state per user and resolved correctly, but an even-
+    earlier straggler below the held chain's own gap window is emitted
+    immediately as a standalone single-event session. Batch, which sees
+    all data at once, would merge such events into a session; keys with
+    MULTIPLE distinct straggler sessions in flight can therefore emit
+    more (smaller) sessions on the stream than in batch. This is a
+    deliberate O(1)-state trade; consumers needing exact batch parity
+    under heavy disorder should widen the watermark or re-sessionize
+    the affected window in batch."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap_us = gap_seconds * 1_000_000
@@ -356,7 +368,22 @@ def score_windows_streaming(
     spelled as mapInPandas: the scalar-pandas-UDF form hits a Spark
     row-representation cast bug (GenericInternalRow/ColumnarBatchRow ->
     UnsafeRow) when it directly consumes applyInPandasWithState output;
-    mapInPandas takes the Arrow path that accepts any row form."""
+    mapInPandas takes the Arrow path that accepts any row form.
+
+    The stream embeds with the deterministic hash kernel only. Centroid
+    state built by a batch run under any other backend (transformer /
+    llama-cpp / remote) lives in a different vector space — scoring hash
+    vectors against it would silently produce meaningless scores, so we
+    refuse up front instead.
+    """
+    if cfg.backend != "hash":
+        raise ValueError(
+            "score_windows_streaming embeds with the deterministic 'hash' "
+            f"kernel, but cfg.backend={cfg.backend!r}: centroid state built "
+            "by that backend is in a different embedding space and the "
+            "stream's scores would be meaningless. Re-build the centroid "
+            "state with backend='hash', or score this stream in batch mode."
+        )
     spark = windows.sparkSession
     bc = spark.sparkContext.broadcast((dict(centroid_map), np.asarray(default)))
     dim = cfg.embedding_dim

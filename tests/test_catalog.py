@@ -81,3 +81,46 @@ def test_lineage_recorded(spark, tiny_transcripts, tmp_path):
     man = cat.manifest("scored_windows", "r9-scored_windows")
     parts = man["lineage"]["partitions"]
     assert parts and sum(p["rows"] for p in parts) == man["rows"]
+
+
+def test_mid_write_kill_recovers(spark, tiny_transcripts, tmp_path):
+    """Chaos case for the manifest-commit-after-data invariant: a kill
+    MID-PARQUET-WRITE leaves a truncated data dir with NO manifest.
+    Because resume trusts only the manifest (has_snapshot), the stage
+    must be recomputed — overwriting the garbage — and the rerun's
+    output must equal an uninterrupted run's."""
+    import shutil
+
+    pdf, _ = tiny_transcripts
+    df = spark.createDataFrame(pdf)
+    cfg = AnalysisConfig()
+    cat = SnapshotCatalog(tmp_path / "wh")
+
+    res1 = analyze_transcripts(spark, df, cfg, catalog=cat, run_id="r1", resume=True)
+    blocks1 = sorted(
+        (r.conv_id, r.start_idx, r.end_idx, round(r.max_score, 6))
+        for r in res1.blocks.collect()
+    )
+
+    # simulate the mid-write kill on the scored_windows stage: delete the
+    # manifest (it was never written), then truncate the data dir to a
+    # partial, unreadable state (one stray non-parquet part file).
+    sid = "r1-scored_windows"
+    cat._manifest_path("scored_windows", sid).unlink()
+    ddir = cat._data_dir("scored_windows", sid)
+    shutil.rmtree(ddir)
+    ddir.mkdir(parents=True)
+    (ddir / "part-00000.parquet").write_bytes(b"truncated garbage, not parquet")
+
+    assert not cat.has_snapshot("scored_windows", sid)  # invariant holds
+    res2 = analyze_transcripts(spark, df, cfg, catalog=cat, run_id="r1", resume=True)
+    blocks2 = sorted(
+        (r.conv_id, r.start_idx, r.end_idx, round(r.max_score, 6))
+        for r in res2.blocks.collect()
+    )
+    assert blocks2 == blocks1
+    # stage was recomputed (not resumed) and recommitted atomically
+    assert res2.metrics["scored_windows"].get("resumed") is None
+    assert cat.has_snapshot("scored_windows", sid)
+    # downstream stages HAD committed manifests, so they resume
+    assert res2.metrics["blocks"].get("resumed") == 1.0

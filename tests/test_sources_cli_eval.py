@@ -716,3 +716,169 @@ def test_read_transcripts_jsonl_wrong_field_names_errors(spark, tmp_path):
     p.write_text('{"conversation": "c0", "idx": 0, "text": "x"}\n')
     with pytest.raises(ValueError, match="NULL conv_id/turn_idx"):
         read_transcripts(spark, str(p))
+
+
+def test_read_transcripts_bz2_jsonl_and_csv(spark, tmp_path):
+    """Compression suffixes are uniform across formats: .jsonl.bz2 and
+    .csv.bz2 route through the same schema-enforced readers as their
+    uncompressed twins (Hadoop codecs decompress transparently)."""
+    import bz2
+
+    from cordon_spark.sources.transcripts import read_transcripts
+
+    jl = '{"conv_id": "c0", "turn_idx": 0, "text": "hi there"}\n' \
+         '{"conv_id": "c0", "turn_idx": 1, "text": "again"}\n'
+    (tmp_path / "t.jsonl.bz2").write_bytes(bz2.compress(jl.encode()))
+    got = read_transcripts(spark, str(tmp_path / "t.jsonl.bz2")).orderBy("turn_idx").collect()
+    assert [(r.conv_id, r.turn_idx, r.text) for r in got] == [
+        ("c0", 0, "hi there"), ("c0", 1, "again"),
+    ]
+
+    csv = "conv_id,turn_idx,text\nc1,0,alpha\nc1,1,beta\n"
+    (tmp_path / "t.csv.bz2").write_bytes(bz2.compress(csv.encode()))
+    got = read_transcripts(spark, str(tmp_path / "t.csv.bz2")).orderBy("turn_idx").collect()
+    assert [(r.conv_id, r.turn_idx, r.text) for r in got] == [
+        ("c1", 0, "alpha"), ("c1", 1, "beta"),
+    ]
+
+
+def test_cli_short_output_flag(spark, tmp_path):
+    """-o is an alias for --output (reference cli.py:129-133)."""
+    from cordon_spark.cli import main
+
+    p = tmp_path / "s.log"
+    p.write_text("\n".join(["routine line"] * 20 + ["ANOMALOUS blip xx"]) + "\n")
+    out = tmp_path / "short.txt"
+    assert main([str(p), "-o", str(out)]) == 0
+    assert out.exists() and out.read_text() != ""
+
+
+def test_cli_bad_dim_table_clean_error(spark, tmp_path, capsys):
+    """A bad --tool-registry path gets the CLI's clean 'error: ...' +
+    exit 2 treatment, not a raw traceback aborting the run."""
+    from cordon_spark.cli import main
+
+    p = tmp_path / "x.log"
+    p.write_text("line one\nline two\n")
+    rc = main([str(p), "--tool-registry", str(tmp_path / "missing.parquet")])
+    assert rc == 2
+    assert "error:" in capsys.readouterr().err
+
+
+def test_cli_max_render_rows_guard(spark, tmp_path, capsys):
+    """A block set bigger than --max-render-rows refuses the driver-side
+    collect with a pointer to --output-table instead of OOMing."""
+    from cordon_spark.cli import main
+
+    p = tmp_path / "g.log"
+    p.write_text("\n".join(["normal line"] * 24 + ["STRANGE event yy"] + ["normal line"] * 5) + "\n")
+    rc = main([str(p), "--output", str(tmp_path / "o.txt"), "--max-render-rows", "0"])
+    assert rc == 1
+    assert "--output-table" in capsys.readouterr().err
+
+
+def test_cli_output_table_distributed_sink(spark, tmp_path):
+    """--output-table writes rendered blocks through the snapshot
+    catalog (no driver collect); content matches the --output path."""
+    from cordon_spark.cli import main
+    from cordon_spark.sources.catalog import SnapshotCatalog
+
+    p = tmp_path / "t.log"
+    p.write_text("\n".join(["usual line"] * 24 + ["NOVEL failure zz"] + ["usual line"] * 5) + "\n")
+    out = tmp_path / "o.txt"
+    wh = str(tmp_path / "wh")
+    assert main([str(p), "--output", str(out)]) == 0
+    assert main([str(p), "--warehouse", wh, "--output-table", "blocks_out"]) == 0
+    cat = SnapshotCatalog(wh)
+    snap = cat.current_snapshot("blocks_out")
+    rows = cat.read(spark, "blocks_out", snap).orderBy("conv_id", "start_idx").collect()
+    assert "\n\n".join(r.block_text for r in rows) == out.read_text()
+    # --output-table without --warehouse is a usage error
+    assert main([str(p), "--output-table", "t2"]) == 2
+
+
+def test_evaluate_runs_resume_skips_completed(spark, tmp_path):
+    """Kill-and-rerun over a multi-run sweep recomputes ONLY the missing
+    runs (reference evaluate.py:898-965), and the resumed aggregate is
+    identical to an uninterrupted sweep."""
+    import json
+
+    from cordon_spark.config import AnalysisConfig
+    from cordon_spark.datagen import generate_transcripts
+    from cordon_spark.plans import evaluate as EV
+
+    pdf, _ = generate_transcripts(n_convs=5, mean_turns=25, seed=5, with_edge_cases=False)
+    pdf["is_anomaly"] = False
+    pdf["template_id"] = pdf["text"].str.split().str[0]
+    turns = spark.createDataFrame(pdf)
+    cfg = AnalysisConfig(window_size=4, anomaly_percentile=0.15)
+    kw = dict(n_runs=3, sample_size=60, seed=11, rare_threshold=10)
+
+    full = EV.evaluate_runs(spark, turns, cfg, output_dir=str(tmp_path / "full"), **kw)
+
+    # "killed" sweep: only run 0 completed
+    part = tmp_path / "part"
+    EV.evaluate_runs(spark, turns, cfg, output_dir=str(part), **{**kw, "n_runs": 1})
+    assert (part / "run_000" / "results_run000.json").exists()
+    calls = {"n": 0}
+    orig = EV.evaluate_run
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    EV.evaluate_run, resumed = counting, None
+    try:
+        resumed = EV.evaluate_runs(spark, turns, cfg, output_dir=str(part), resume=True, **kw)
+    finally:
+        EV.evaluate_run = orig
+    assert calls["n"] == 2  # runs 1 and 2 only — run 0 loaded from disk
+    assert resumed == full  # bit-identical aggregate
+    # per-run files match the uninterrupted sweep's
+    for i in range(3):
+        a = json.loads((part / f"run_{i:03d}" / f"results_run{i:03d}.json").read_text())
+        b = json.loads((tmp_path / "full" / f"run_{i:03d}" / f"results_run{i:03d}.json").read_text())
+        assert a == b
+
+
+def test_load_dataset_config_manifest(tmp_path):
+    """YAML dataset manifest: known id returns its config; unknown id
+    raises listing the available ids (reference evaluate.py:29-38)."""
+    from cordon_spark.plans.evaluate import load_dataset_config
+
+    m = tmp_path / "datasets.yaml"
+    m.write_text(
+        "datasets:\n"
+        "  hdfs_v1:\n"
+        "    name: HDFS v1\n"
+        "    log_file: HDFS.log\n"
+        "    anomaly_rate: 0.0293\n"
+        "  bgl:\n"
+        "    name: BGL\n"
+        "    log_file: BGL.log\n"
+    )
+    cfg = load_dataset_config("hdfs_v1", str(m))
+    assert cfg["log_file"] == "HDFS.log" and cfg["anomaly_rate"] == 0.0293
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bgl, hdfs_v1"):
+        load_dataset_config("nope", str(m))
+
+
+def test_streaming_score_refuses_foreign_backend(spark):
+    """Streaming scorer embeds with the hash kernel: centroid state
+    built by another backend lives in a different vector space, so a
+    non-hash cfg.backend must refuse loudly instead of silently scoring
+    garbage."""
+    import numpy as np
+
+    from cordon_spark.config import AnalysisConfig
+    from cordon_spark.streaming.route import score_windows_streaming
+
+    windows = spark.createDataFrame(
+        [("c0", 0, 3, "text", "sig")],
+        "conv_id string, start_idx int, end_idx int, content string, signature string",
+    )
+    cfg = AnalysisConfig(backend="sentence-transformers", model_name="all-MiniLM-L6-v2")
+    with pytest.raises(ValueError, match="backend"):
+        score_windows_streaming(windows, {}, np.zeros(64), cfg)
