@@ -13,6 +13,10 @@ threshold -> merge -> route) SQL-expressible and hash-checkable.
 Cross-engine numeric contract:
   * all float outputs rounded via floor(x*10000 + 0.5)/10000 (explicit
     half-up on both engines; Spark ROUND and Python round() disagree)
+  * value SUMS go further: decimal(20,6) accumulation (order-exact) and
+    a scaled-LONG output (r4l: floor(x*10000+0.5) without the /10000) —
+    integers hash identically under any float-repr / canonicalization
+    convention a comparing harness might use
   * counts cast to long (DuckDB count() is BIGINT)
   * md5 hex strings as the shared deterministic hash family
 """

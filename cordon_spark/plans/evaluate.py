@@ -163,9 +163,13 @@ def evaluate_run(
     label_col: str = "is_anomaly",
     template_col: str = "template_id",
     rare_threshold: int = 100,
+    plots_dir: str | None = None,
 ) -> dict:
     """One evaluation run: pipeline over the (sampled) turns, then the
-    full reference metric set (evaluate.py:272-369)."""
+    full reference metric set (evaluate.py:272-369). With `plots_dir`,
+    the run also emits its plot artifacts (score-distribution histogram
+    + template-coverage bars, the reference's per-run plots/ layout —
+    JSON always, figures when matplotlib imports)."""
     from cordon_spark.plans.pipeline import analyze_transcripts
 
     res = analyze_transcripts(spark, turns, cfg, templates=templates)
@@ -176,6 +180,17 @@ def evaluate_run(
                 turns, res.blocks, template_col=template_col, rare_threshold=rare_threshold
             )
         )
+        if plots_dir is not None:
+            from cordon_spark.plans import visualize as V
+
+            labeled = V.window_labels(res.scored_windows, turns, label_col=label_col)
+            V.write_plot_artifacts(
+                plots_dir,
+                score_dist=V.score_distribution_data(labeled, label_col=label_col),
+                coverage=V.template_coverage_data(
+                    turns, res.blocks, template_col=template_col, label_col=label_col
+                ),
+            )
     finally:
         res.unpersist()
     return out
@@ -191,6 +206,7 @@ def evaluate_runs(
     templates: list | None = None,
     output_dir: str | None = None,
     resume: bool = False,
+    generate_plots: bool = False,
     **metric_kwargs,
 ) -> dict:
     """Multi-run harness: each run samples a fresh seeded contiguous
@@ -231,7 +247,15 @@ def evaluate_runs(
                 results.append(json.loads(run_file.read_text()))
                 continue
         sampled = contiguous_sample(turns, sample_size, seed + i)
-        res = evaluate_run(spark, sampled, cfg, templates=templates, **metric_kwargs)
+        plots_dir = (
+            str(out_dir / f"run_{i:03d}")
+            if generate_plots and out_dir is not None
+            else None
+        )
+        res = evaluate_run(
+            spark, sampled, cfg, templates=templates, plots_dir=plots_dir,
+            **metric_kwargs,
+        )
         if out_dir is not None:
             run_file.parent.mkdir(parents=True, exist_ok=True)
             tmp = run_file.with_suffix(".json.tmp")
