@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cordon_spark.config import AnalysisConfig
+from cordon_spark.operators import curation as C
 from cordon_spark.operators import dedup as D
 from cordon_spark.operators import similarity as S
 from cordon_spark.functions import text as TX
@@ -1040,6 +1041,138 @@ FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 16
 """
 
 
+# ------------------------------------------------------------------ #
+# Training-data curation suite (operators/curation.py)
+# ------------------------------------------------------------------ #
+def _pii_docs(spark, sf_dir):
+    """documents + deterministically injected PII (the synthetic corpus
+    has none): emails / IPs / phone runs keyed off doc_id so both
+    engines derive the identical table."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    inject = (
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(F.lit(" from 10.0."), (did % 256).cast("string"), F.lit(".7")),
+        )
+        .otherwise(
+            F.concat(F.lit(" call 555 123 "), (F.lit(1000) + did % 9000).cast("string"))
+        )
+    )
+    return d.withColumn("text", F.concat("text", inject))
+
+
+_PII_DOC_SQL = """
+pii AS (SELECT doc_id,
+               text || CASE WHEN doc_id % 3 = 0
+                            THEN ' contact user' || doc_id || '@example.com'
+                            WHEN doc_id % 3 = 1
+                            THEN ' from 10.0.' || (doc_id % 256) || '.7'
+                            ELSE ' call 555 123 ' || (1000 + doc_id % 9000) END AS text
+        FROM documents)
+"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    """Regex-tier PII redaction counts + redacted-text md5 (the
+    patterns are chosen to behave identically under Java regex and
+    RE2 — verified on adversarial fixtures in tests/test_curation)."""
+    ship_package(spark)
+    out = C.pii_scrub(_pii_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_emails", "n_ips", "n_phones",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+SQL_PII_SCRUB = f"""
+WITH {_PII_DOC_SQL.strip()},
+s1 AS (SELECT doc_id, len(regexp_extract_all(text, '{C.EMAIL_RE}'))::BIGINT AS n_emails,
+              regexp_replace(text, '{C.EMAIL_RE}', '<EMAIL>', 'g') AS s FROM pii),
+s2 AS (SELECT doc_id, n_emails, len(regexp_extract_all(s, '{C.IPV4_RE}'))::BIGINT AS n_ips,
+              regexp_replace(s, '{C.IPV4_RE}', '<IP>', 'g') AS s FROM s1),
+s3 AS (SELECT doc_id, n_emails, n_ips,
+              len(regexp_extract_all(s, '{C.PHONE_RE}'))::BIGINT AS n_phones,
+              regexp_replace(s, '{C.PHONE_RE}', '<PHONE>', 'g') AS s FROM s2)
+SELECT doc_id, n_emails, n_ips, n_phones, md5(s) AS clean_md5 FROM s3
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """n-gram-overlap decontamination of the corpus against a held-out
+    'benchmark' subset (doc_id % 11 == 0), n=3 to match the corpus's
+    short synthetic texts."""
+    ship_package(spark)
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 11 == 0)
+    out = C.decontaminate(docs, bench, n=3)
+    return out.select("doc_id", "n_contaminated", "contaminated")
+
+
+SQL_DECONTAMINATE = f"""
+WITH {_TOKS_SQL.strip()},
+g AS (SELECT doc_id, unnest(CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+         WHEN len(toks) >= 3
+         THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                           i -> array_to_string(toks[i:i+2], ' ')))
+         ELSE [array_to_string(toks, ' ')] END) AS gram FROM tk),
+bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 11 = 0),
+hits AS (SELECT g.doc_id, count(*) AS n FROM g JOIN bg USING (gram) GROUP BY g.doc_id)
+SELECT d.doc_id, coalesce(h.n, 0)::BIGINT AS n_contaminated,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
+
+
+STRAT_FRACTIONS = {"en": 0.5, "de": 0.3, "zh": 0.1}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language sampling: membership is a pure
+    function of md5(doc_id|salt), so the sample reproduces across
+    engines/partitionings (unlike seeded per-partition RNG)."""
+    ship_package(spark)
+    out = C.stratified_sample(_docs(spark, sf_dir), STRAT_FRACTIONS)
+    return out.select("doc_id", "lang")
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH u AS (SELECT doc_id, lang,
+                  ('0x' || substr(md5(doc_id::VARCHAR || '|strat'), 1, 8))::UBIGINT::DOUBLE
+                    / 4294967295.0 AS u
+           FROM documents)
+SELECT doc_id, lang FROM u
+WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.3 WHEN 'zh' THEN 0.1 ELSE 0.0 END
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Streaming-fill sequence packing per language shard, 500-token
+    budget, deterministic doc_id order."""
+    ship_package(spark)
+    from cordon_spark.functions.text import token_count_cols
+
+    docs = token_count_cols(_docs(spark, sf_dir))
+    out = C.pack_sequences(docs, max_tokens=500, group_col="lang", order_col="doc_id")
+    return out.select("doc_id", "lang", "n_tokens", "pack_offset", "pack_id")
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH {_TOKS_SQL.strip()},
+n AS (SELECT d.doc_id, d.lang, len(tk.toks)::BIGINT AS n_tokens
+      FROM documents d JOIN tk USING (doc_id)),
+c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM n)
+SELECT doc_id, lang, n_tokens, (cum - n_tokens)::BIGINT AS pack_offset,
+       floor((cum - n_tokens) / 500)::BIGINT AS pack_id
+FROM c
+"""
+
+
 QUERIES = {
     "window_segment": q_window_segment,
     "knn_score": q_knn_score,
@@ -1071,6 +1204,10 @@ QUERIES = {
     "ivf_ann": q_ivf_ann,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "pii_scrub": q_pii_scrub,
+    "decontaminate": q_decontaminate,
+    "stratified_sample": q_stratified_sample,
+    "pack_sequences": q_pack_sequences,
 }
 
 ORACLE_SQL = {
@@ -1110,4 +1247,8 @@ ORACLE_SQL = {
     # bit-deterministic, so its centroids enter the oracle as literals
     # and everything downstream of the fit is hash-checked too.
     "ivf_ann": SQL_IVF_ANN.replace("{cen_values}", _ivf_cen_values()),
+    "pii_scrub": SQL_PII_SCRUB,
+    "decontaminate": SQL_DECONTAMINATE,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "pack_sequences": SQL_PACK_SEQUENCES,
 }

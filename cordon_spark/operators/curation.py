@@ -1,0 +1,153 @@
+"""Training-data curation operators: PII scrubbing, benchmark
+decontamination, deterministic stratified sampling, sequence packing.
+
+These are the standard companions of a dedup + quality-score pipeline
+when the corpus feeds model training (the graft brief's
+'large-scale training-data pipeline' axis). All four are pure
+DataFrame plans — JVM-side expressions or one keyed window — with
+exact DuckDB mirrors in entry_queries, and each documents its 100 TB
+shape inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from cordon_spark.operators.dedup import with_shingles
+
+# Patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB): ASCII classes, simple greedy quantifiers, no
+# backreferences or lookaround (RE2 has neither).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PHONE_RE = r"\+?\d(?:[ -]?\d){7,14}"
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """Redact emails -> IPv4s -> phone-like digit runs (in that fixed
+    order; later counts run on the already-redacted text so the three
+    classes never double-count the same span) and count each class.
+
+    100 TB shape: three vectorized regexp_replace/regexp_count
+    projections inside whole-stage codegen — no Python, no shuffle,
+    scales with the scan. Not a compliance-grade PII system (that
+    needs NER models); it is the deterministic regex tier every
+    training pipeline runs FIRST, at full corpus width."""
+    t0 = F.coalesce(F.col(text_col), F.lit(""))
+    step = (
+        df.withColumn("n_emails", F.regexp_count(t0, F.lit(EMAIL_RE)).cast("long"))
+        .withColumn("_t1", F.regexp_replace(t0, EMAIL_RE, "<EMAIL>"))
+    )
+    step = step.withColumn(
+        "n_ips", F.regexp_count(F.col("_t1"), F.lit(IPV4_RE)).cast("long")
+    ).withColumn("_t2", F.regexp_replace(F.col("_t1"), IPV4_RE, "<IP>"))
+    step = step.withColumn(
+        "n_phones", F.regexp_count(F.col("_t2"), F.lit(PHONE_RE)).cast("long")
+    ).withColumn(out_col, F.regexp_replace(F.col("_t2"), PHONE_RE, "<PHONE>"))
+    return step.drop("_t1", "_t2")
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with a held-out benchmark/eval set (the standard
+    n-gram-overlap test applied before training). Output: docs +
+    `n_contaminated` (count of DISTINCT shared n-grams) + `contaminated`.
+
+    100 TB shape: the benchmark set is small by nature (eval suites are
+    thousands-to-millions of examples), so its distinct n-gram set
+    broadcasts and the corpus side is one explode + broadcast semi-join
+    + count — linear, no corpus-side shuffle beyond the count agg. At
+    extreme benchmark sizes swap the broadcast for a bloom-filter
+    pushdown (same plan shape). Tokenization is the kernel's shared
+    whitespace family, so Spark/SQL/Python agree bit-for-bit."""
+    bench_grams = (
+        with_shingles(benchmark, n, text_col, out="_sh")
+        .select(F.explode("_sh").alias("gram"))
+        .distinct()
+    )
+    doc_grams = (
+        with_shingles(docs, n, text_col, out="_sh")
+        .select(F.col(id_col), F.explode("_sh").alias("gram"))
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), on="gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        docs.join(hits, on=id_col, how="left")
+        .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)).cast("long"))
+        .withColumn("contaminated", F.col("n_contaminated") > 0)
+    )
+
+
+def _hash_unit(key: Column, salt: str) -> Column:
+    """Deterministic uniform [0,1) from md5(key|salt) — the same
+    engine-portable hash family as the LSH planes: DuckDB's
+    ('0x'||hex)::UBIGINT equals Python/Spark int(hex,16)."""
+    h = F.md5(F.concat(key.cast("string"), F.lit("|" + salt)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(float(0xFFFFFFFF))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "strat",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum sampling with DETERMINISTIC membership: row kept iff
+    md5(key|salt)/2^32 < fraction[stratum]. Unlike df.sampleBy (seeded
+    per-partition RNG — resample when partitioning changes), membership
+    here depends only on the row key, so the sample is reproducible
+    across runs, partitionings, engines, and incremental re-executions
+    — the property a training pipeline needs for resumable corpus
+    construction. Pure projection + filter: no shuffle, pushes down."""
+    u = _hash_unit(F.col(key_col), salt)
+    frac = None
+    for stratum, f in sorted(fractions.items()):
+        cond = F.col(strata_col) == stratum
+        frac = F.when(cond, F.lit(f)) if frac is None else frac.when(cond, F.lit(f))
+    frac = frac.otherwise(F.lit(default_fraction)) if frac is not None else F.lit(
+        default_fraction
+    )
+    return df.withColumn("_u", u).filter(F.col("_u") < frac).drop("_u")
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    group_col: str = "lang",
+    order_col: str = "doc_id",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Sequence packing for training: assign documents (in deterministic
+    `order_col` order within each `group_col` shard) to fixed-budget
+    packs. A document's pack is the one its STARTING token offset falls
+    in: pack_id = floor((cumsum - n_tokens) / max_tokens) — the
+    streaming-fill spelling. A pack can therefore overflow max_tokens
+    by at most one document (the straddler), which trainers handle by
+    truncation; exact greedy first-fit needs a sequential running
+    reset that cannot parallelize. Docs longer than max_tokens occupy
+    their starting pack (and overflow it) rather than being split.
+
+    100 TB shape: ONE window cumsum per shard key — the shard column
+    (language, source, date bucket) bounds each window's sort; there is
+    deliberately no global-order variant, because a corpus-wide cumsum
+    is a global sort. Output adds pack_id and pack_offset (the doc's
+    starting token offset within its shard)."""
+    w = W.partitionBy(group_col).orderBy(order_col)
+    cum = F.sum(token_col).over(w)
+    start = (cum - F.col(token_col)).cast("long")
+    return df.withColumn("pack_offset", start).withColumn(
+        "pack_id", F.floor(start / F.lit(max_tokens)).cast("long")
+    )

@@ -1,0 +1,141 @@
+"""Training-data curation operators (operators/curation.py): PII
+scrubbing, benchmark decontamination, deterministic stratified
+sampling, sequence packing."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from cordon_spark.operators import curation as C
+
+PII_FIXTURES = [
+    "mail me at a.b+c@ex-ample.co.uk or admin@x.io thanks",
+    "server 192.168.0.1 and 10.0.0.255, bogus 999.999.999.999 edge",
+    "call +1 555 123 4567 or 08005551234 now",
+    "mixed: bob@site.org from 172.16.4.2 phone 555-123-9876",
+    "none here",
+    "",
+    None,
+    "tricky a@b.cd 1.2.3.4.5 12345678 +44-20-7946-0958",
+]
+
+
+@pytest.fixture(scope="module")
+def pii_df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(PII_FIXTURES)], "doc_id long, text string"
+    )
+
+
+def test_pii_scrub_counts_and_redaction(spark, pii_df):
+    got = {
+        r.doc_id: (r.n_emails, r.n_ips, r.n_phones, r.clean_text)
+        for r in C.pii_scrub(pii_df).collect()
+    }
+    assert got[0] == (2, 0, 0, "mail me at <EMAIL> or <EMAIL> thanks")
+    # regex tier deliberately matches the 999.x bogus IP (no range check)
+    assert got[1] == (0, 3, 0, "server <IP> and <IP>, bogus <IP> edge")
+    assert got[2] == (0, 0, 2, "call <PHONE> or <PHONE> now")
+    assert got[3] == (1, 1, 1, "mixed: <EMAIL> from <IP> phone <PHONE>")
+    assert got[4] == (0, 0, 0, "none here")
+    assert got[5] == (0, 0, 0, "")
+    assert got[6] == (0, 0, 0, "")  # null text -> empty clean_text
+
+
+def test_pii_regexes_match_duckdb_re2(spark, pii_df):
+    """The load-bearing property: the Java-regex and RE2 spellings of
+    the same patterns agree on counts AND redacted text, including the
+    adversarial fixtures (overlapping classes, bogus IPs, null)."""
+    srows = [
+        (r.doc_id, r.n_emails, r.n_ips, r.n_phones, r.clean_text)
+        for r in C.pii_scrub(pii_df).orderBy("doc_id").collect()
+    ]
+    con = duckdb.connect()
+    vals = ",".join(
+        f"({i}, " + ("NULL" if t is None else "'" + t.replace("'", "''") + "'") + ")"
+        for i, t in enumerate(PII_FIXTURES)
+    )
+    orows = con.execute(
+        f"""
+        WITH t0 AS (SELECT doc_id, coalesce(text, '') AS s
+                    FROM (VALUES {vals}) v(doc_id, text)),
+        s1 AS (SELECT doc_id, len(regexp_extract_all(s, '{C.EMAIL_RE}')) AS a,
+                      regexp_replace(s, '{C.EMAIL_RE}', '<EMAIL>', 'g') AS s FROM t0),
+        s2 AS (SELECT doc_id, a, len(regexp_extract_all(s, '{C.IPV4_RE}')) AS b,
+                      regexp_replace(s, '{C.IPV4_RE}', '<IP>', 'g') AS s FROM s1),
+        s3 AS (SELECT doc_id, a, b, len(regexp_extract_all(s, '{C.PHONE_RE}')) AS c,
+                      regexp_replace(s, '{C.PHONE_RE}', '<PHONE>', 'g') AS s FROM s2)
+        SELECT doc_id, a, b, c, s FROM s3 ORDER BY doc_id
+        """
+    ).fetchall()
+    assert srows == [tuple(r) for r in orows]
+
+
+def test_decontaminate_planted_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),
+            (1, "zeta eta theta iota kappa"),
+            (2, "completely different words here now"),
+            (3, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "xx alpha beta gamma yy"), (101, "short")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_contaminated, r.contaminated)
+        for r in C.decontaminate(docs, bench, n=3).collect()
+    }
+    # doc 0 shares the 3-gram "alpha beta gamma" with bench
+    assert got[0] == (1, True)
+    assert got[1] == (0, False) and got[2] == (0, False)
+    # sub-n docs shingle to their full token string; "short" matches
+    # bench doc 101's identical short text
+    assert got[3] == (1, True)
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    frac = {"en": 0.5, "de": 0.1}
+    s1 = sorted(r.doc_id for r in C.stratified_sample(df, frac).collect())
+    s2 = sorted(r.doc_id for r in C.stratified_sample(df.repartition(13), frac).collect())
+    assert s1 == s2  # membership is a pure function of the key
+    n_en = sum(1 for d in s1 if d % 2 == 0)
+    n_de = len(s1) - n_en
+    assert abs(n_en / 1000 - 0.5) < 0.05
+    assert abs(n_de / 1000 - 0.1) < 0.03
+    # unlisted strata drop entirely by default
+    df2 = df.withColumn("lang", F.lit("fr"))
+    assert C.stratified_sample(df2, frac).count() == 0
+
+
+def test_pack_sequences_invariants(spark):
+    rows = [(i, "g", 100 + (i * 37) % 150) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    out = C.pack_sequences(df, max_tokens=500, group_col="lang").orderBy("doc_id").collect()
+    # offsets are the exclusive running sum in doc_id order
+    cum = 0
+    for r in out:
+        assert r.pack_offset == cum
+        assert r.pack_id == cum // 500
+        cum += r.n_tokens
+    # every pack's span is < max + one straddler document
+    by_pack = {}
+    for r in out:
+        by_pack.setdefault(r.pack_id, []).append(r)
+    for pid, docs in by_pack.items():
+        total = sum(d.n_tokens for d in docs)
+        assert total < 500 + max(d.n_tokens for d in docs)
+    # partition-invariant (window is keyed + ordered)
+    out2 = (
+        C.pack_sequences(df.repartition(7), max_tokens=500, group_col="lang")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [(r.doc_id, r.pack_id, r.pack_offset) for r in out] == [
+        (r.doc_id, r.pack_id, r.pack_offset) for r in out2
+    ]
