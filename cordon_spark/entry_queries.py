@@ -1041,6 +1041,59 @@ FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 16
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """AS-OF join (the brief's named custom operator): each click event
+    picks the latest prior-or-simultaneous purchase value of the same
+    user. Right side deduped to one row per (user, ts) (max value) so
+    the match is well-defined on both engines."""
+    ship_package(spark)
+    from cordon_spark.operators.events import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us"), "value")
+        .groupBy("user_id", "us")
+        .agg(F.max("value").alias("pv"))
+    )
+    out = asof_join(clicks, purchases, key_col="user_id", ts_col="us", value_cols=("pv",))
+    return out.select("event_id", "user_id", "us", r4(F.col("asof_pv"), "asof_pv"))
+
+
+SQL_ASOF_JOIN = """
+WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, epoch_us(ts) AS us, max(value) AS pv
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT c.event_id, c.user_id, c.us, floor(p.pv*10000 + 0.5)/10000 AS asof_pv
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.us >= p.us
+"""
+
+
+def q_rollup_hierarchy(spark, sf_dir):
+    """Hypertable-style hierarchical rollup: (day, event_type) -> (day)
+    -> grand total in one Expand + hash-agg pass; grouping_id marks the
+    level. Value sums decimal-exact and emitted as scaled longs."""
+    ship_package(spark)
+    from cordon_spark.operators.events import hierarchical_rollup
+
+    out = hierarchical_rollup(_events(spark, sf_dir))
+    return out.select(
+        "bucket", "event_type", "gid", "n", r4l(F.col("value_sum"), "value_sum_e4")
+    )
+
+
+SQL_ROLLUP_HIERARCHY = """
+SELECT epoch_us(ts) // 86400000000 AS bucket, event_type,
+       grouping_id(epoch_us(ts) // 86400000000, event_type)::BIGINT AS gid,
+       count(*) AS n,
+       floor(sum(value::DECIMAL(20,6))::DOUBLE*10000 + 0.5)::BIGINT AS value_sum_e4
+FROM events GROUP BY ROLLUP(1, 2)
+"""
+
+
 # ------------------------------------------------------------------ #
 # Training-data curation suite (operators/curation.py)
 # ------------------------------------------------------------------ #
@@ -1204,6 +1257,8 @@ QUERIES = {
     "ivf_ann": q_ivf_ann,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "asof_join": q_asof_join,
+    "rollup_hierarchy": q_rollup_hierarchy,
     "pii_scrub": q_pii_scrub,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
@@ -1247,6 +1302,8 @@ ORACLE_SQL = {
     # bit-deterministic, so its centroids enter the oracle as literals
     # and everything downstream of the fit is hash-checked too.
     "ivf_ann": SQL_IVF_ANN.replace("{cen_values}", _ivf_cen_values()),
+    "asof_join": SQL_ASOF_JOIN,
+    "rollup_hierarchy": SQL_ROLLUP_HIERARCHY,
     "pii_scrub": SQL_PII_SCRUB,
     "decontaminate": SQL_DECONTAMINATE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,

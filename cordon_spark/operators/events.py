@@ -90,3 +90,69 @@ def parse_props(events: DataFrame, key: str = "k") -> DataFrame:
         f"prop_{key}",
         F.regexp_extract(F.col("props"), pat, 1).cast("long"),
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_cols: tuple[str, ...] = ("value",),
+) -> DataFrame:
+    """AS-OF join: each left row picks the LATEST right row with
+    right.ts <= left.ts for the same key (inclusive tie — DuckDB /
+    kdb asof semantics). Right must be unique per (key, ts); the
+    caller aggregates duplicates first so the match is well-defined.
+
+    Spark spelling: tag + unionByName + one keyed window with
+    last(ignorenulls) — the classic distributed as-of that shuffles
+    each side ONCE on the key and never builds the (left x right)
+    range-join blowup. At 100 TB both sides stream through a single
+    sort-within-partition; skewed keys take the same salting hook as
+    any keyed op."""
+    lcols = left.columns
+    l = left.withColumn("_src", F.lit(1))
+    r = right.select(
+        F.col(key_col),
+        F.col(ts_col),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    ).withColumn("_src", F.lit(0))
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    # right rows sort BEFORE left rows at equal ts (_src 0 < 1), so an
+    # exactly-simultaneous right row is visible to the left row.
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col("_src"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    filled = [
+        F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"asof_{c}")
+        for c in value_cols
+    ]
+    return unioned.select(*lcols, "_src", *filled).filter(F.col("_src") == 1).drop("_src")
+
+
+def hierarchical_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Hypertable-style hierarchical rollup: (bucket, group) ->
+    (bucket) -> grand total in ONE pass via GROUP BY ROLLUP — Spark
+    plans a single Expand + hash aggregate (map-side combined), not
+    three scans. grouping_id disambiguates a NULL data value from a
+    rolled-up level. Decimal value sums: order-independent."""
+    bucket = (
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        / F.lit(bucket_seconds * 1_000_000)
+    ).cast("long")
+    return (
+        events.withColumn("bucket", bucket)
+        .rollup("bucket", group_col)
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("value_sum"),
+        )
+    )
