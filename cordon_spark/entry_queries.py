@@ -1041,6 +1041,53 @@ FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 16
 """
 
 
+def q_repetition_quality(spark, sf_dir):
+    """Gopher/C4-style repetition filters: duplicate-line fraction,
+    most-common-2-gram token coverage, duplicate-3-gram fraction —
+    per-row JVM array math, no shuffle (the oracle recomputes the
+    same statistics relationally)."""
+    ship_package(spark)
+    from cordon_spark.functions.text import repetition_cols
+
+    out = repetition_cols(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        r4(F.col("dup_line_frac"), "dup_line_frac"),
+        r4(F.col("top_2gram_frac"), "top_2gram_frac"),
+        r4(F.col("dup_3gram_frac"), "dup_3gram_frac"),
+    )
+
+
+SQL_REPETITION_QUALITY = f"""
+WITH {_TOKS_SQL.strip()},
+ln AS (SELECT doc_id, list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+       FROM documents),
+g2e AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+          THEN list_transform(generate_series(1, len(toks) - 1),
+                              i -> array_to_string(toks[i:i+1], ' '))
+          ELSE []::VARCHAR[] END) AS g FROM tk),
+g2c AS (SELECT doc_id, max(c) AS best
+        FROM (SELECT doc_id, g, count(*) AS c FROM g2e GROUP BY 1, 2) GROUP BY doc_id),
+g3 AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+         THEN list_transform(generate_series(1, len(toks) - 2),
+                             i -> array_to_string(toks[i:i+2], ' '))
+         ELSE []::VARCHAR[] END AS g FROM tk)
+SELECT d.doc_id,
+  floor((CASE WHEN len(ln.lines) > 0
+              THEN 1.0 - len(list_distinct(ln.lines)) / len(ln.lines)
+              ELSE 0.0 END)*10000 + 0.5)/10000 AS dup_line_frac,
+  floor((CASE WHEN len(tk.toks) >= 2
+              THEN least(1.0, g2c.best * 2.0 / len(tk.toks))
+              ELSE 0.0 END)*10000 + 0.5)/10000 AS top_2gram_frac,
+  floor((CASE WHEN len(g3.g) > 0
+              THEN 1.0 - len(list_distinct(g3.g)) / len(g3.g)
+              ELSE 0.0 END)*10000 + 0.5)/10000 AS dup_3gram_frac
+FROM documents d
+JOIN tk USING (doc_id) JOIN ln USING (doc_id) JOIN g3 USING (doc_id)
+LEFT JOIN g2c USING (doc_id)
+"""
+
+
 def q_asof_join(spark, sf_dir):
     """AS-OF join (the brief's named custom operator): each click event
     picks the latest prior-or-simultaneous purchase value of the same
@@ -1257,6 +1304,7 @@ QUERIES = {
     "ivf_ann": q_ivf_ann,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "repetition_quality": q_repetition_quality,
     "asof_join": q_asof_join,
     "rollup_hierarchy": q_rollup_hierarchy,
     "pii_scrub": q_pii_scrub,
@@ -1302,6 +1350,7 @@ ORACLE_SQL = {
     # bit-deterministic, so its centroids enter the oracle as literals
     # and everything downstream of the fit is hash-checked too.
     "ivf_ann": SQL_IVF_ANN.replace("{cen_values}", _ivf_cen_values()),
+    "repetition_quality": SQL_REPETITION_QUALITY,
     "asof_join": SQL_ASOF_JOIN,
     "rollup_hierarchy": SQL_ROLLUP_HIERARCHY,
     "pii_scrub": SQL_PII_SCRUB,

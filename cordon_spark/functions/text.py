@@ -90,3 +90,77 @@ def with_fingerprint(
     return step.withColumn(
         out, F.array_min(F.transform(sh, lambda s: F.md5(s)))
     ).drop("_sh")
+
+
+def repetition_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style repetition quality signals, all JVM-side:
+
+      dup_line_frac  — fraction of non-empty lines that repeat an
+                       earlier line (1 - distinct/total)
+      top_2gram_frac — fraction of tokens covered by the single most
+                       frequent word 2-gram (token-count flavor of
+                       Gopher's most-common-n-gram character fraction)
+      dup_3gram_frac — fraction of word 3-grams that are repeats
+
+    100 TB shape: per-row array expressions only — no explode, no
+    shuffle; the most-frequent-2-gram count is an O(n) fold over the
+    SORTED gram array (max run length of equal neighbors), which stays
+    in the JVM (higher-order functions are CodegenFallback but the
+    fold is linear per row). Token/line/gram arrays materialize ONCE
+    per row behind Generate barriers — referenced repeatedly inside
+    one projection they would re-evaluate per use."""
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    step = df.withColumn(
+        "_lines", F.explode(F.array(F.filter(F.split(raw, "\n"), lambda x: x != "")))
+    )
+    step = step.withColumn("_toks", F.explode(F.array(tokens_col(text_col))))
+    n_lines = F.size("_lines").cast("double")
+    dup_line = F.when(
+        n_lines > 0,
+        F.lit(1.0) - F.size(F.array_distinct("_lines")) / n_lines,
+    ).otherwise(F.lit(0.0))
+
+    def grams(n: int) -> Column:
+        toks = F.col("_toks")
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    step = step.withColumn("_g2", F.explode(F.array(F.array_sort(grams(2)))))
+    step = step.withColumn("_g3", F.explode(F.array(grams(3))))
+    # max multiplicity = longest run of equal neighbors in the sorted
+    # array: fold carrying (prev, run, best)
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    best = F.aggregate(
+        F.col("_g2"),
+        acc0,
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda a: a["best"],
+    )
+    n_toks = F.size("_toks").cast("double")
+    top2 = F.when(
+        F.size("_g2") > 0, F.least(F.lit(1.0), best * 2 / n_toks)
+    ).otherwise(F.lit(0.0))
+    n_g3 = F.size("_g3").cast("double")
+    dup3 = F.when(
+        n_g3 > 0, F.lit(1.0) - F.size(F.array_distinct("_g3")) / n_g3
+    ).otherwise(F.lit(0.0))
+    return (
+        step.withColumn("dup_line_frac", dup_line)
+        .withColumn("top_2gram_frac", top2)
+        .withColumn("dup_3gram_frac", dup3)
+        .drop("_lines", "_toks", "_g2", "_g3")
+    )

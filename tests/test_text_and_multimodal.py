@@ -187,3 +187,37 @@ def test_sample_frames_zero_frame_media(spark):
     media = spark.createDataFrame(pdf, MM.MEDIA_SCHEMA)
     out = MM.sample_frames(media, 2, decode_fn=video_decoder).collect()
     assert {r.media_id for r in out} == {2}  # empty video contributes nothing
+
+
+def test_repetition_cols_planted(spark):
+    """Gopher-style repetition stats on planted fixtures."""
+    from cordon_spark.functions.text import repetition_cols
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b\na b\nc d"),            # 1 dup line of 3
+            (1, "x y x y x y"),              # "x y" 2-gram dominates
+            (2, "one two three four five"),  # no repetition
+            (3, "t t t"),                    # all 3-grams/2-grams equal
+            (4, ""),                         # empty -> all zeros
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (
+            round(r.dup_line_frac, 4),
+            round(r.top_2gram_frac, 4),
+            round(r.dup_3gram_frac, 4),
+        )
+        for r in repetition_cols(docs).collect()
+    }
+    assert got[0][0] == round(1 / 3, 4)
+    # "x y" occurs 3x among 5 2-grams over 6 tokens -> 3*2/6 = 1.0
+    assert got[1][1] == 1.0
+    # 6 tokens, 4 distinct 3-grams ("x y x","y x y","x y x","y x y")
+    assert got[1][2] == 0.5
+    assert got[2] == (0.0, round(2 / 5, 4), 0.0)
+    assert got[3] == (0.0, 1.0, 0.0)  # "t t" twice over 3 tokens -> 4/3 capped at 1
+    assert got[4] == (0.0, 0.0, 0.0)
+    assert got[5] == (0.0, 0.0, 0.0)
