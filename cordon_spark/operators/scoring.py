@@ -124,7 +124,6 @@ def _merge_partial_rows(batches):
                     sums[sig] = flat[i]
                     counts[sig] = int(row["cnts"][i])
     if not sums:
-        yield pd.DataFrame({"sigs": [], "cnts": [], "flat": []})
         return
     mat = np.stack(list(sums.values()))
     yield pd.DataFrame(
@@ -180,7 +179,6 @@ def template_centroids(
                     sums[sig] = acc[i]
                     counts[sig] = int(cnt[i])
         if not sums:
-            yield pd.DataFrame({"sigs": [], "cnts": [], "flat": []})
             return
         mat = np.stack(list(sums.values()))
         yield pd.DataFrame(

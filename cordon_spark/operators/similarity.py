@@ -87,7 +87,6 @@ def _merge_kmeans_partials(batches):
                 sums += flat
                 cnts += cnt
     if sums is None:
-        yield pd.DataFrame({"cid": [], "cnt": [], "flat": []})
         return
     yield pd.DataFrame(
         {
@@ -174,7 +173,6 @@ def kmeans_fit(
                     np.add.at(sums, assign, mat)
                     cnts += np.bincount(assign, minlength=cen.shape[0])
                 if not seen:
-                    yield pd.DataFrame({"cid": [], "cnt": [], "flat": []})
                     return
                 yield pd.DataFrame(
                     {

@@ -166,7 +166,6 @@ def _pca_partials(vec_col: str, dim: int):
             s += mat.sum(axis=0)
             g += mat.T @ mat
         if n == 0:
-            yield pd.DataFrame({"n": [], "s": [], "g": []})
             return
         yield pd.DataFrame({"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]})
 

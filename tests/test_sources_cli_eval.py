@@ -882,3 +882,50 @@ def test_streaming_score_refuses_foreign_backend(spark):
     cfg = AnalysisConfig(backend="sentence-transformers", model_name="all-MiniLM-L6-v2")
     with pytest.raises(ValueError, match="backend"):
         score_windows_streaming(windows, {}, np.zeros(64), cfg)
+
+
+def test_evaluate_cli_end_to_end(spark, tmp_path, capsys):
+    """The reference benchmark harness's CLI surface: manifest-resolved
+    dataset, multi-run sweep with per-run persistence, resume contract
+    (incl. the 'Nothing to do.' early exit), JSON aggregate output."""
+    import json
+
+    from cordon_spark.datagen import generate_transcripts, write_parquet
+    from cordon_spark.evaluate_cli import main
+
+    pdf, _ = generate_transcripts(n_convs=4, mean_turns=20, seed=4, with_edge_cases=False)
+    pdf["is_anomaly"] = pdf.index % 13 == 0
+    pdf["template_id"] = pdf["text"].str.split().str[0]
+    data = tmp_path / "turns.parquet"
+    write_parquet(pdf, str(data))
+    manifest = tmp_path / "datasets.yaml"
+    manifest.write_text(
+        f"datasets:\n  toy:\n    name: Toy\n    log_file: {data}\n"
+    )
+
+    rc = main(["toy", "--manifest", str(manifest), "--runs", "2",
+               "--sample-size", "full", "--output-dir", str(tmp_path / "runs"),
+               "--run-name", "rA", "--rare-threshold", "10"])
+    assert rc == 0
+    agg = json.loads(capsys.readouterr().out)
+    assert agg["num_runs"] == 2
+    assert (tmp_path / "runs" / "rA" / "run_001" / "results_run001.json").exists()
+
+    # resume with the target already met -> reference's early exit
+    rc = main(["toy", "--manifest", str(manifest), "--runs", "2",
+               "--sample-size", "full", "--output-dir", str(tmp_path / "runs"),
+               "--run-name", "rA", "--resume", "--rare-threshold", "10"])
+    assert rc == 0
+    assert "Nothing to do." in capsys.readouterr().out
+
+    # reference-pinned error contracts
+    assert main(["toy", "--manifest", str(manifest), "--resume"]) == 2
+    err = capsys.readouterr().err
+    assert "--resume requires --run-name" in err
+    assert main(["nope", "--manifest", str(manifest)]) == 2
+    assert "Unknown dataset" in capsys.readouterr().err
+    # missing label columns -> clean error
+    bare = tmp_path / "bare.parquet"
+    write_parquet(pdf.drop(columns=["is_anomaly", "template_id"]), str(bare))
+    assert main(["--input", str(bare)]) == 2
+    assert "missing required columns" in capsys.readouterr().err
