@@ -139,3 +139,15 @@ def test_pack_sequences_invariants(spark):
     assert [(r.doc_id, r.pack_id, r.pack_offset) for r in out] == [
         (r.doc_id, r.pack_id, r.pack_offset) for r in out2
     ]
+
+
+def test_pii_scrub_idempotent(spark, pii_df):
+    """Scrubbing already-scrubbed text changes nothing: the redaction
+    tokens contain no digits or @, so no pattern can re-fire."""
+    once = C.pii_scrub(pii_df).select("doc_id", F.col("clean_text").alias("text"))
+    twice = C.pii_scrub(once)
+    rows = twice.collect()
+    assert all(r.n_emails == 0 and r.n_ips == 0 and r.n_phones == 0 for r in rows)
+    assert {(r.doc_id, r.text) for r in once.collect()} == {
+        (r.doc_id, r.clean_text) for r in rows
+    }

@@ -140,3 +140,24 @@ def test_ivf_ann_empty_candidates(spark):
     out = S.ivf_ann(df, empty, k=3, n_clusters=4)
     assert out.count() == 0
     assert S.kmeans_fit(empty, k=4).shape == (0, 0)
+
+
+def test_baked_ivf_centroids_match_fresh_fit(spark):
+    """The ivf_ann oracle bakes the sf0.01 k-means centroids as SQL
+    literals (scripts/gen_ivf_centroids.py); this guards the bake
+    against drift: a fresh fit on the same data must reproduce the
+    constants BIT-FOR-BIT (the fit is deterministic by design — if this
+    fails, rerun the generator and check why determinism broke)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cordon_spark.entry_queries import _normalized_vectors
+    from cordon_spark.ivf_centroids_sf001 import IVF_CENTROIDS_SF001
+    from cordon_spark.operators.similarity import kmeans_fit
+
+    vecs = _normalized_vectors(spark, "/root/testdata/sf0.01")
+    cands = vecs.select(F.col("vec_id").alias("nid"), F.col("v").alias("nv"))
+    cen = kmeans_fit(cands, k=16, iters=3, id_col="nid", vec_col="nv")
+    baked = np.array(IVF_CENTROIDS_SF001, dtype=np.float64)
+    assert cen.shape == baked.shape
+    assert np.array_equal(cen, baked)
