@@ -1041,6 +1041,34 @@ FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 16
 """
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """int8 embedding quantization (the 4-8x storage path for 100 TB
+    embedding corpora): per-vector scale + comma-joined int codes so
+    the comparator sees scalars, not list types."""
+    ship_package(spark)
+    vecs = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("v"))
+    out = S.quantize_embeddings(vecs)
+    return out.select(
+        "vec_id",
+        r4l(F.col("q_scale") * 1000, "scale_e7"),  # scale ~1e-2: keep 7 digits
+        F.concat_ws(",", F.col("qv").cast("array<string>")).alias("q_str"),
+    )
+
+
+SQL_QUANTIZE_EMBEDDINGS = """
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale, v FROM e0),
+q AS (SELECT vec_id, scale,
+             CASE WHEN scale > 0
+                  THEN list_transform(v, x -> (floor(x / scale + 0.5))::BIGINT)
+                  ELSE list_transform(v, x -> 0::BIGINT) END AS qv
+      FROM s)
+SELECT vec_id, floor(scale*1000*10000 + 0.5)::BIGINT AS scale_e7,
+       array_to_string(qv, ',') AS q_str
+FROM q
+"""
+
+
 def q_repetition_quality(spark, sf_dir):
     """Gopher/C4-style repetition filters: duplicate-line fraction,
     most-common-2-gram token coverage, duplicate-3-gram fraction —
@@ -1304,6 +1332,7 @@ QUERIES = {
     "ivf_ann": q_ivf_ann,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "quantize_embeddings": q_quantize_embeddings,
     "repetition_quality": q_repetition_quality,
     "asof_join": q_asof_join,
     "rollup_hierarchy": q_rollup_hierarchy,
@@ -1350,6 +1379,7 @@ ORACLE_SQL = {
     # bit-deterministic, so its centroids enter the oracle as literals
     # and everything downstream of the fit is hash-checked too.
     "ivf_ann": SQL_IVF_ANN.replace("{cen_values}", _ivf_cen_values()),
+    "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "repetition_quality": SQL_REPETITION_QUALITY,
     "asof_join": SQL_ASOF_JOIN,
     "rollup_hierarchy": SQL_ROLLUP_HIERARCHY,

@@ -465,3 +465,36 @@ def lsh_ann(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "nid", "dist")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "v", q_col: str = "qv", scale_col: str = "q_scale"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q = round_half_up(x / scale). 4-8x smaller embedding storage for
+    the ANN/dedup paths at 100 TB (the dominant byte cost of an
+    embedding corpus is the float vectors); recall loss vs float is
+    bounded and asserted in tests. Pure JVM projections — the scale
+    materializes once per row behind a Generate barrier (referenced
+    inside the divide lambda it would otherwise re-evaluate PER
+    ELEMENT, like normalize's norm). Zero vectors quantize to zeros
+    with scale 0."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(vec, F.abs)) / F.lit(127.0)
+    step = df.withColumn(scale_col, F.explode(F.array(scale)))
+    s = F.col(scale_col)
+    q = F.when(
+        s > 0.0,
+        F.transform(vec, lambda x: F.floor(x / s + F.lit(0.5)).cast("tinyint")),
+    ).otherwise(F.transform(vec, lambda x: F.lit(0).cast("tinyint")))
+    return step.withColumn(q_col, q)
+
+
+def dequantize_embeddings(
+    df: DataFrame, q_col: str = "qv", scale_col: str = "q_scale", out_col: str = "v"
+) -> DataFrame:
+    """Inverse of quantize_embeddings: x ≈ q * scale (JVM projection)."""
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(q_col), lambda q: q.cast("double") * F.col(scale_col)),
+    )

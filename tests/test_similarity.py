@@ -161,3 +161,39 @@ def test_baked_ivf_centroids_match_fresh_fit(spark):
     baked = np.array(IVF_CENTROIDS_SF001, dtype=np.float64)
     assert cen.shape == baked.shape
     assert np.array_equal(cen, baked)
+
+
+def test_quantized_ann_recall(spark):
+    """int8 quantize -> dequantize preserves neighbor structure: top-5
+    recall vs the float baseline >= 0.9, and reconstruction error is
+    bounded by scale/2 per element."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cordon_spark.entry_queries import _normalized_vectors
+    from cordon_spark.operators.similarity import (
+        brute_force_topk,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    vecs = _normalized_vectors(spark, "/root/testdata/sf0.001")
+    deq = dequantize_embeddings(quantize_embeddings(vecs)).select("vec_id", "v")
+    queries = vecs.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(queries, vecs, k=5).collect()
+    approx = brute_force_topk(
+        dequantize_embeddings(quantize_embeddings(queries)).select("vec_id", "v"),
+        deq, k=5,
+    ).collect()
+    e = {(r.qid, r.nid) for r in exact}
+    a = {(r.qid, r.nid) for r in approx}
+    assert len(e & a) / len(e) >= 0.9
+    # per-element reconstruction error <= scale/2 (+ float eps)
+    row = quantize_embeddings(vecs).filter(F.col("vec_id") == 0).collect()[0]
+    orig = np.array(vecs.filter(F.col("vec_id") == 0).collect()[0].v)
+    rec = np.array(row.qv, dtype=np.float64) * row.q_scale
+    assert np.max(np.abs(rec - orig)) <= row.q_scale / 2 + 1e-12
+    # zero vector edge: scale 0, all-zero codes
+    z = spark.createDataFrame([(1, [0.0, 0.0])], "vec_id long, v array<double>")
+    zr = quantize_embeddings(z).collect()[0]
+    assert zr.q_scale == 0.0 and list(zr.qv) == [0, 0]
