@@ -144,6 +144,20 @@ def main() -> None:
             for _ in range(repeats)
         )
 
+    # ---- curation path at transcript scale (regex tier, 2M turns) ----
+    from pyspark.sql import functions as F
+
+    from cordon_spark.operators.curation import pii_scrub
+
+    timings["pii_scrub_turns"] = min(
+        _timed(
+            lambda: pii_scrub(transcripts.select("text"))
+            .agg(F.sum("n_emails"), F.sum("n_ips"), F.sum("n_phones"))
+            .collect()
+        )
+        for _ in range(repeats)
+    )
+
     total = sum(timings.values())
     print(
         json.dumps(
