@@ -1041,6 +1041,33 @@ FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 16
 """
 
 
+def q_hopping_rollup(spark, sf_dir):
+    """Hopping-window rollup (1h window, 15m hop): every event in 4
+    overlapping windows via Spark's native window(); value sums as
+    scaled longs."""
+    ship_package(spark)
+    from cordon_spark.operators.events import hopping_window_rollup
+
+    out = hopping_window_rollup(_events(spark, sf_dir))
+    return out.select(
+        "window_start_us", "event_type", "n", r4l(F.col("value_sum"), "value_sum_e4")
+    )
+
+
+# Window-start formula mirrors Spark's TimeWindow expression: candidate
+# starts are (floor(us/hop) - i) * hop for i in 0..(w/hop - 1), kept
+# when the event falls inside [start, start + w).
+SQL_HOPPING_ROLLUP = """
+WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+x AS (SELECT ((us // 900000000) - g.i) * 900000000 AS window_start_us, event_type, value, us
+      FROM e, generate_series(0, 3) g(i))
+SELECT window_start_us, event_type, count(*) AS n,
+       floor(sum(value::DECIMAL(20,6))::DOUBLE*10000 + 0.5)::BIGINT AS value_sum_e4
+FROM x WHERE us >= window_start_us AND us < window_start_us + 3600000000
+GROUP BY 1, 2
+"""
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """int8 embedding quantization (the 4-8x storage path for 100 TB
     embedding corpora): per-vector scale + comma-joined int codes so
@@ -1332,6 +1359,7 @@ QUERIES = {
     "ivf_ann": q_ivf_ann,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "hopping_rollup": q_hopping_rollup,
     "quantize_embeddings": q_quantize_embeddings,
     "repetition_quality": q_repetition_quality,
     "asof_join": q_asof_join,
@@ -1379,6 +1407,7 @@ ORACLE_SQL = {
     # bit-deterministic, so its centroids enter the oracle as literals
     # and everything downstream of the fit is hash-checked too.
     "ivf_ann": SQL_IVF_ANN.replace("{cen_values}", _ivf_cen_values()),
+    "hopping_rollup": SQL_HOPPING_ROLLUP,
     "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "repetition_quality": SQL_REPETITION_QUALITY,
     "asof_join": SQL_ASOF_JOIN,

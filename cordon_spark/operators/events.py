@@ -156,3 +156,36 @@ def hierarchical_rollup(
             F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("value_sum"),
         )
     )
+
+
+def hopping_window_rollup(
+    events: DataFrame,
+    window_seconds: int = 3600,
+    hop_seconds: int = 900,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Hopping (sliding) time-window counts + sums per group: each event
+    lands in window/hop overlapping windows via Spark's native window()
+    expression — the Expand happens BEFORE the aggregate, so the map-side
+    combine still collapses each partition to O(windows x groups) rows
+    and the single exchange carries partials, not the window/hop-times
+    replicated events. Decimal sums: order-independent."""
+    w = F.window(
+        F.col(ts_col).cast("timestamp"),
+        f"{window_seconds} seconds",
+        f"{hop_seconds} seconds",
+    )
+    return (
+        events.groupBy(w.alias("w"), group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("value_sum"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            group_col,
+            "n",
+            "value_sum",
+        )
+    )

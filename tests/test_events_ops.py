@@ -2,7 +2,11 @@
 
 from pyspark.sql import functions as F
 
-from cordon_spark.operators.events import asof_join, hierarchical_rollup
+from cordon_spark.operators.events import (
+    asof_join,
+    hierarchical_rollup,
+    hopping_window_rollup,
+)
 
 
 def test_asof_join_semantics(spark):
@@ -65,3 +69,20 @@ def test_hierarchical_rollup_levels(spark):
     assert by_key[(None, None, 3)] == (4, 15.0)
     # one pass: exactly 3 leaf rows + 2 day rows + 1 total
     assert len(rows) == 6
+
+
+def test_hopping_window_rollup(spark):
+    """Each event lands in exactly window/hop overlapping windows;
+    counts per window match a manual assignment."""
+    ev = spark.createDataFrame(
+        [(1, "2026-01-01 00:10:00", "click", 1.0),
+         (2, "2026-01-01 00:50:00", "click", 2.0)],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = hopping_window_rollup(ev, window_seconds=3600, hop_seconds=900).collect()
+    per_event_windows = 3600 // 900
+    assert sum(r.n for r in rows) == 2 * per_event_windows
+    # the window starting at 00:00 contains both events
+    base = {r.window_start_us: r.n for r in rows}
+    epoch_2026 = 1767225600 * 1_000_000  # 2026-01-01 00:00:00 UTC in us
+    assert base[epoch_2026] == 2
