@@ -1,0 +1,105 @@
+"""Property-based differentials for the round-3 event/curation
+operators: randomized inputs against independent oracles —
+pandas.merge_asof for the as-of join, direct recomputation for
+sequence packing. Few examples (each runs real Spark jobs), wide
+input space."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from cordon_spark.operators.curation import pack_sequences
+from cordon_spark.operators.events import asof_join
+
+
+@st.composite
+def asof_inputs(draw):
+    n_keys = draw(st.integers(1, 3))
+    left_rows, right_rows = [], []
+    eid = 0
+    for k in range(n_keys):
+        for _ in range(draw(st.integers(0, 6))):
+            left_rows.append((eid, k, draw(st.integers(0, 50))))
+            eid += 1
+        # unique (key, ts) on the right — the operator's precondition
+        ts_set = draw(
+            st.lists(st.integers(0, 50), max_size=5, unique=True)
+        )
+        for t in ts_set:
+            right_rows.append((k, t, float(draw(st.integers(-5, 5)))))
+    return left_rows, right_rows
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(data=asof_inputs())
+def test_asof_join_matches_pandas_merge_asof(spark, data):
+    left_rows, right_rows = data
+    if not left_rows:
+        return
+    left = spark.createDataFrame(left_rows, "event_id long, user_id long, us long")
+    if right_rows:
+        right = spark.createDataFrame(right_rows, "user_id long, us long, pv double")
+    else:
+        right = spark.createDataFrame([], "user_id long, us long, pv double")
+    got = {
+        r.event_id: r.asof_pv
+        for r in asof_join(
+            left, right, key_col="user_id", ts_col="us", value_cols=("pv",)
+        ).collect()
+    }
+    lp = (
+        pd.DataFrame(left_rows, columns=["event_id", "user_id", "us"])
+        .astype({"event_id": "int64", "user_id": "int64", "us": "int64"})
+        .sort_values("us")
+    )
+    rp = (
+        pd.DataFrame(right_rows, columns=["user_id", "us", "pv"])
+        .astype({"user_id": "int64", "us": "int64", "pv": "float64"})
+        .sort_values("us")
+    )
+    merged = pd.merge_asof(
+        lp, rp, on="us", by="user_id", direction="backward", allow_exact_matches=True
+    )
+    want = {
+        int(r.event_id): (None if pd.isna(r.pv) else float(r.pv))
+        for r in merged.itertuples()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    tokens=st.lists(st.integers(1, 700), min_size=1, max_size=40),
+    max_tokens=st.integers(100, 600),
+)
+def test_pack_sequences_property(spark, tokens, max_tokens):
+    rows = [(i, "g", t) for i, t in enumerate(tokens)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    out = (
+        pack_sequences(df, max_tokens=max_tokens, group_col="lang")
+        .orderBy("doc_id")
+        .collect()
+    )
+    cum = 0
+    prev_pack = 0
+    for r, t in zip(out, tokens):
+        assert r.pack_offset == cum
+        assert r.pack_id == cum // max_tokens
+        assert r.pack_id >= prev_pack  # packs are monotone in order
+        prev_pack = r.pack_id
+        cum += t
+    # docs no longer than the budget never straddle more than one pack
+    # boundary: their pack's total is < max + that one straddler
+    by_pack: dict = {}
+    for r, t in zip(out, tokens):
+        by_pack.setdefault(r.pack_id, []).append(t)
+    for sizes in by_pack.values():
+        assert sum(sizes) < max_tokens + max(sizes)
