@@ -1400,7 +1400,7 @@ ORACLE_SQL = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "ann_lsh": SQL_ANN_LSH,
     "dedup_embedding_lsh": SQL_DEDUP_EMBEDDING_LSH,
-    # All 30 queries have exact DuckDB oracles: the md5-derived hash
+    # ALL queries have exact DuckDB oracles: the md5-derived hash
     # embedding, simhash bits, and LSH planes all reproduce
     # bit-identically in SQL (hex-cast parity), and ivf_ann's iterative
     # k-means — the one genuinely non-SQL-expressible fit — is
