@@ -72,7 +72,14 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         path = ds["log_file"]
 
-    sample_size = None if args.sample_size.lower() == "full" else int(args.sample_size)
+    try:
+        sample_size = (
+            None if args.sample_size.lower() == "full" else int(args.sample_size)
+        )
+    except ValueError:
+        print(f"error: --sample-size must be an integer or 'full', got "
+              f"{args.sample_size!r}", file=sys.stderr)
+        return 2
     output_dir = None
     if args.output_dir or args.run_name:
         from pathlib import Path

@@ -929,3 +929,13 @@ def test_evaluate_cli_end_to_end(spark, tmp_path, capsys):
     write_parquet(pdf.drop(columns=["is_anomaly", "template_id"]), str(bare))
     assert main(["--input", str(bare)]) == 2
     assert "missing required columns" in capsys.readouterr().err
+
+
+def test_evaluate_cli_bad_sample_size(tmp_path, capsys):
+    """Non-integer --sample-size gets the clean error + exit 2, not a
+    traceback (no Spark session needed on this path)."""
+    from cordon_spark.evaluate_cli import main
+
+    assert main(["--input", str(tmp_path / "x.parquet"),
+                 "--sample-size", "many"]) == 2
+    assert "--sample-size must be an integer or 'full'" in capsys.readouterr().err
