@@ -101,6 +101,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.output_table and not args.warehouse:
         print("error: --output-table requires --warehouse", file=sys.stderr)
         return 2
+    if args.output_table and args.output:
+        print(
+            "error: --output and --output-table are mutually exclusive "
+            "(one driver-side file, one distributed table sink)",
+            file=sys.stderr,
+        )
+        return 2
 
     from cordon_spark.plans.pipeline import analyze_transcripts
     from cordon_spark.operators.routing import render_blocks
@@ -165,13 +172,15 @@ def main(argv: list[str] | None = None) -> int:
                 )
             else:
                 # Driver-side render (reference-parity stdout/--output):
-                # guarded by a cheap count probe so a fat block set fails
-                # with a pointer instead of OOMing the driver.
-                n_blocks = rendered.count()
-                if n_blocks > args.max_render_rows:
+                # guarded by a LIMIT probe (early-terminates — a full
+                # count() would re-execute the whole render join once
+                # before the collect runs it again) so a fat block set
+                # fails with a pointer instead of OOMing the driver.
+                probe = rendered.limit(args.max_render_rows + 1).count()
+                if probe > args.max_render_rows:
                     raise RuntimeError(
-                        f"{n_blocks} rendered blocks exceed --max-render-rows="
-                        f"{args.max_render_rows}; use --output-table (with "
+                        f"more than --max-render-rows={args.max_render_rows} "
+                        "rendered blocks; use --output-table (with "
                         "--warehouse) for a distributed write instead of "
                         "collecting to the driver"
                     )

@@ -1242,6 +1242,9 @@ def _pii_docs(spark, sf_dir):
     engines derive the identical table."""
     d = _docs(spark, sf_dir)
     did = F.col("doc_id")
+    # NULL-text rows inject over '' on BOTH engines (concat over NULL
+    # would yield NULL on Spark but '' || inject in the coalesced SQL)
+    base = F.coalesce(F.col("text"), F.lit(""))
     inject = (
         F.when(
             did % 3 == 0,
@@ -1255,12 +1258,12 @@ def _pii_docs(spark, sf_dir):
             F.concat(F.lit(" call 555 123 "), (F.lit(1000) + did % 9000).cast("string"))
         )
     )
-    return d.withColumn("text", F.concat("text", inject))
+    return d.withColumn("text", F.concat(base, inject))
 
 
 _PII_DOC_SQL = """
 pii AS (SELECT doc_id,
-               text || CASE WHEN doc_id % 3 = 0
+               coalesce(text, '') || CASE WHEN doc_id % 3 = 0
                             THEN ' contact user' || doc_id || '@example.com'
                             WHEN doc_id % 3 = 1
                             THEN ' from 10.0.' || (doc_id % 256) || '.7'

@@ -57,6 +57,12 @@ def main(argv: list[str] | None = None) -> int:
         print("ERROR: --resume requires --run-name to specify which run to resume",
               file=sys.stderr)
         return 2
+    if args.generate_plots and not (args.output_dir or args.run_name):
+        # without an output dir there is nowhere to put the artifacts —
+        # error instead of silently producing nothing
+        print("error: --generate-plots requires --output-dir or --run-name",
+              file=sys.stderr)
+        return 2
 
     from cordon_spark.config import AnalysisConfig
     from cordon_spark.plans.evaluate import evaluate_runs, load_dataset_config

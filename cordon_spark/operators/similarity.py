@@ -103,6 +103,7 @@ def kmeans_fit(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    persist: bool | None = None,
 ) -> np.ndarray:
     """Deterministic Lloyd k-means for the IVF coarse quantizer.
 
@@ -123,7 +124,11 @@ def kmeans_fit(
     from cordon_spark.operators.scoring import _TREE_FANIN
 
     spark = vectors.sparkSession
-    owns_cache = not vectors.is_cached
+    # persist=None -> auto: cache unless the input is already cached.
+    # Callers whose input is a plan OVER a cached parent (e.g. ivf_ann's
+    # projection) pass persist=False — is_cached on the projection is
+    # False but the scan still hits the parent's InMemoryTableScan.
+    owns_cache = (not vectors.is_cached) if persist is None else persist
     if owns_cache:
         from pyspark import StorageLevel
 
@@ -239,10 +244,15 @@ def ivf_ann(
     from pyspark import StorageLevel
 
     cands = candidates.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
-    owns_cache = not cands.is_cached
+    # check the INPUT's cache state: the fresh projection is never
+    # cached itself, but a plan over a cached parent reads the
+    # InMemoryTableScan — persisting again would double the big cache
+    owns_cache = not candidates.is_cached
     if owns_cache:
         cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
-    centroids = kmeans_fit(cands, k=n_clusters, iters=iters, id_col="nid", vec_col="nv")
+    centroids = kmeans_fit(
+        cands, k=n_clusters, iters=iters, id_col="nid", vec_col="nv", persist=False
+    )
     if centroids.shape[0] == 0:  # empty candidate corpus -> empty result
         # schema mirrors the non-empty path: qid/nid carry id_col's
         # actual type (string ids union/join cleanly with shard results)

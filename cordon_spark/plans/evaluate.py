@@ -227,15 +227,16 @@ def evaluate_runs(
 
     out_dir = Path(output_dir) if output_dir else None
     if out_dir is not None:
-        if resume and (out_dir / "parameters.yaml").exists():
-            import yaml
+        import yaml
 
+        if resume and (out_dir / "parameters.yaml").exists():
             params = yaml.safe_load((out_dir / "parameters.yaml").read_text())
             seed = params.get("seed", seed)  # original seed wins
         out_dir.mkdir(parents=True, exist_ok=True)
-        if not (out_dir / "parameters.yaml").exists():
-            import yaml
-
+        # A FRESH sweep always rewrites parameters.yaml (a stale seed
+        # from an earlier sweep into the same dir would poison a later
+        # --resume with mixed sample sequences); only --resume reuses it.
+        if not resume or not (out_dir / "parameters.yaml").exists():
             (out_dir / "parameters.yaml").write_text(
                 yaml.safe_dump({"seed": seed, "sample_size": sample_size, "runs": n_runs})
             )

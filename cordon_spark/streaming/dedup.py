@@ -38,14 +38,16 @@ def dedup_stream(
     `ttl_minutes` > 0 expires idle digests (bounded state for unbounded
     streams); 0 keeps state forever (exact dedup, growing state).
 
-    Output schema: (digest, doc_id, text) — the survivor row."""
+    Output schema: (digest, <id_col>, <text_col>) — the survivor row;
+    the id/text field types are taken from the input schema, so string
+    or composite-friendly id columns work, not just longs."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = T.StructType(
         [
             T.StructField("digest", T.StringType()),
-            T.StructField(id_col, T.LongType()),
-            T.StructField(text_col, T.StringType()),
+            T.StructField(id_col, docs.schema[id_col].dataType),
+            T.StructField(text_col, docs.schema[text_col].dataType),
         ]
     )
     ttl_ms = ttl_minutes * 60_000
@@ -58,7 +60,8 @@ def dedup_stream(
         if state.exists:
             first = None  # digest already emitted in an earlier batch
         else:
-            first = rows.loc[rows[id_col].idxmin()]
+            # sort_values (not idxmin) so string ids order correctly too
+            first = rows.sort_values(id_col, kind="stable").iloc[0]
             state.update((True,))
         if ttl_ms > 0:
             state.setTimeoutDuration(ttl_ms)

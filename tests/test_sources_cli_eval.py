@@ -939,3 +939,50 @@ def test_evaluate_cli_bad_sample_size(tmp_path, capsys):
     assert main(["--input", str(tmp_path / "x.parquet"),
                  "--sample-size", "many"]) == 2
     assert "--sample-size must be an integer or 'full'" in capsys.readouterr().err
+
+
+def test_cli_output_and_output_table_exclusive(tmp_path, capsys):
+    from cordon_spark.cli import main
+
+    p = tmp_path / "x.log"
+    p.write_text("line\n")
+    rc = main([str(p), "--warehouse", str(tmp_path / "wh"),
+               "--output-table", "t", "-o", str(tmp_path / "o.txt")])
+    assert rc == 2
+    assert "mutually exclusive" in capsys.readouterr().err
+
+
+def test_evaluate_cli_plots_require_output_dir(tmp_path, capsys):
+    from cordon_spark.evaluate_cli import main
+
+    rc = main(["--input", str(tmp_path / "x.parquet"), "--generate-plots"])
+    assert rc == 2
+    assert "--generate-plots requires" in capsys.readouterr().err
+
+
+def test_evaluate_runs_fresh_sweep_rewrites_parameters(spark, tmp_path):
+    """A fresh (non-resume) sweep into an existing output_dir must
+    REWRITE parameters.yaml — a stale seed from an earlier sweep would
+    poison a later --resume with mixed sample sequences."""
+    import yaml
+
+    from cordon_spark.config import AnalysisConfig
+    from cordon_spark.datagen import generate_transcripts
+    from cordon_spark.plans.evaluate import evaluate_runs
+
+    pdf, _ = generate_transcripts(n_convs=3, mean_turns=15, seed=6, with_edge_cases=False)
+    pdf["is_anomaly"] = False
+    pdf["template_id"] = pdf["text"].str.split().str[0]
+    turns = spark.createDataFrame(pdf)
+    cfg = AnalysisConfig(window_size=4, anomaly_percentile=0.2)
+    out = str(tmp_path / "d")
+    kw = dict(n_runs=1, sample_size=30, rare_threshold=10)
+    evaluate_runs(spark, turns, cfg, seed=42, output_dir=out, **kw)
+    evaluate_runs(spark, turns, cfg, seed=99, output_dir=out, **kw)  # fresh rerun
+    params = yaml.safe_load((tmp_path / "d" / "parameters.yaml").read_text())
+    assert params["seed"] == 99  # rewritten, not stale 42
+    # and resume now reloads the CURRENT seed
+    agg99 = evaluate_runs(spark, turns, cfg, seed=99, output_dir=out, **kw)
+    agg_res = evaluate_runs(spark, turns, cfg, seed=123, output_dir=out,
+                            resume=True, **kw)
+    assert agg_res == agg99  # run 0 loaded; seed from yaml wins over 123

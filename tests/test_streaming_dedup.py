@@ -75,3 +75,34 @@ def test_dedup_stream_across_batches_and_batch_parity(spark, tmp_path):
     batch = exact_dedup(full)
     batch_ids = {r.doc_id for r in batch.collect()}
     assert batch_ids == {d for d, _ in got}
+
+
+def test_dedup_stream_string_ids(spark, tmp_path):
+    """Output schema follows the input column types — string ids work,
+    with lexicographic min as the in-batch survivor."""
+    src = tmp_path / "src"
+    src.mkdir()
+    pdf = pd.DataFrame(
+        [("doc-b", "same"), ("doc-a", "same"), ("doc-c", "other")],
+        columns=["doc_id", "text"],
+    )
+    pdf.to_parquet(src / "b0.parquet")
+    from cordon_spark.streaming.dedup import dedup_stream
+
+    stream = spark.readStream.schema("doc_id string, text string").parquet(str(src))
+    q = (
+        dedup_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream_s")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.doc_id, r.text)
+            for r in spark.sql("SELECT * FROM dedup_stream_s").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {("doc-a", "same"), ("doc-c", "other")}
