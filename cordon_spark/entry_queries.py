@@ -1078,6 +1078,44 @@ FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 16
 """
 
 
+# Messy-text injection for the normalization query: NFD-decomposed
+# accent + BEL control + tab + double space, keyed to every doc. Both
+# engines receive the identical raw Python string.
+_MESSY_SUFFIX = " Cafe\u0301\t\x07  fin"  # NFD accent + BEL + tab + doubled space
+
+
+def q_normalize_text(spark, sf_dir):
+    """Unicode NFC + control-strip + whitespace-collapse normalization
+    over documents with injected messy text (the corpus itself is
+    clean ASCII). Python unicodedata and DuckDB nfc_normalize share the
+    UCD tables, so the oracle is exact."""
+    ship_package(spark)
+    from cordon_spark.functions.text import normalize_text_cols
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.concat(F.coalesce("text", F.lit("")), F.lit(_MESSY_SUFFIX))
+    )
+    out = normalize_text_cols(docs)
+    return out.select(
+        "doc_id",
+        F.length("norm_text").cast("long").alias("n_chars_norm"),
+        F.md5("norm_text").alias("norm_md5"),
+    )
+
+
+SQL_NORMALIZE_TEXT = f"""
+WITH m AS (SELECT doc_id, coalesce(text, '') || '{_MESSY_SUFFIX}' AS t FROM documents),
+n AS (SELECT doc_id,
+             trim(regexp_replace(
+                 regexp_replace(nfc_normalize(t),
+                                '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x{{0080}}-\\x{{009F}}]',
+                                '', 'g'),
+                 '{_WS_RE2}+', ' ', 'g')) AS norm
+      FROM m)
+SELECT doc_id, length(norm)::BIGINT AS n_chars_norm, md5(norm) AS norm_md5 FROM n
+"""
+
+
 def q_hopping_rollup(spark, sf_dir):
     """Hopping-window rollup (1h window, 15m hop): every event in 4
     overlapping windows via Spark's native window(); value sums as
@@ -1400,6 +1438,7 @@ QUERIES = {
     "ivf_ann": q_ivf_ann,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "normalize_text": q_normalize_text,
     "hopping_rollup": q_hopping_rollup,
     "quantize_embeddings": q_quantize_embeddings,
     "repetition_quality": q_repetition_quality,
@@ -1449,6 +1488,7 @@ ORACLE_SQL = {
     # and everything downstream of the fit is hash-checked too.
     "ivf_ann": SQL_IVF_ANN.replace("{cen_values}", _ivf_cen_values()),
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "normalize_text": SQL_NORMALIZE_TEXT,
     "hopping_rollup": SQL_HOPPING_ROLLUP,
     "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "repetition_quality": SQL_REPETITION_QUALITY,

@@ -9,6 +9,7 @@ not a model."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from cordon_spark.operators.dedup import shingles_col, tokens_col
@@ -164,3 +165,36 @@ def repetition_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("dup_3gram_frac", dup3)
         .drop("_lines", "_toks", "_g2", "_g3")
     )
+
+
+def normalize_text_cols(
+    df: DataFrame, text_col: str = "text", out_col: str = "norm_text"
+) -> DataFrame:
+    """Pre-tokenization text normalization — the cleaning pass a dedup/
+    training pipeline runs before shingling so visually-identical docs
+    actually hash together:
+
+      1. Unicode NFC normalization (composed forms; é == e+combining)
+      2. strip C0/C1 control characters (except \\t \\n \\r)
+      3. collapse whitespace runs to one space + trim
+
+    NFC is the one step Spark has no JVM expression for, so it runs as
+    an Arrow-batched pandas UDF over Python's unicodedata (same UCD
+    tables as DuckDB's nfc_normalize — verified equal in tests); the
+    control-strip and collapse are codegen regexp_replace. Keep the NFC
+    UDF adjacent to other Python stages in a plan so Catalyst fuses one
+    Arrow round-trip, not three."""
+    from pyspark.sql.functions import pandas_udf
+
+    from cordon_spark.kernel import ws_class
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.fillna("").map(lambda t: unicodedata.normalize("NFC", t))
+
+    ctrl = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\u0080-\\u009F]"
+    stripped = F.regexp_replace(nfc(F.col(text_col)), ctrl, "")
+    collapsed = F.trim(F.regexp_replace(stripped, ws_class("java") + "+", " "))
+    return df.withColumn(out_col, collapsed)

@@ -221,3 +221,27 @@ def test_repetition_cols_planted(spark):
     assert got[3] == (0.0, 1.0, 0.0)  # "t t" twice over 3 tokens -> 4/3 capped at 1
     assert got[4] == (0.0, 0.0, 0.0)
     assert got[5] == (0.0, 0.0, 0.0)
+
+
+def test_normalize_text_cols(spark):
+    """NFC composition, control strip, whitespace collapse — explicit
+    decomposed sequences so the NFC step is actually exercised."""
+    import unicodedata
+
+    from cordon_spark.functions.text import normalize_text_cols
+
+    decomposed = "Cafe\u0301"  # e + COMBINING ACUTE (NFD)
+    composed = unicodedata.normalize("NFC", decomposed)
+    assert decomposed != composed  # sanity: the fixture IS decomposed
+    docs = spark.createDataFrame(
+        [
+            (0, f"  {decomposed}\t\x07 x  y  "),
+            (1, "plain"),
+            (2, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.norm_text for r in normalize_text_cols(docs).collect()}
+    assert got[0] == f"{composed} x y"  # composed, controls gone, collapsed
+    assert got[1] == "plain"
+    assert got[2] == ""
