@@ -566,6 +566,32 @@ SELECT node AS doc_id, min(lab) AS cluster_rep FROM reach GROUP BY node
 """
 
 
+def q_dedup_apply(spark, sf_dir):
+    """End-to-end dedup composition: corpus -> minhash-LSH pairs ->
+    connected components -> FINAL corpus keeping only component
+    representatives (one anti join). The count drop is exactly the
+    non-representative cluster membership."""
+    ship_package(spark)
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        docs, n=3, bands=8, rows=2, verify_threshold=MINHASH_TAU
+    )
+    kept = D.apply_dedup(docs, D.dedup_clusters(pairs))
+    return kept.select("doc_id", "lang")
+
+
+SQL_DEDUP_APPLY = (
+    "WITH RECURSIVE"
+    + SQL_DEDUP_CLUSTERS.split("WITH RECURSIVE", 1)[1].rsplit("SELECT node", 1)[0]
+    + """,
+drops AS (SELECT node AS doc_id FROM reach GROUP BY node
+          HAVING node <> min(lab))
+SELECT d.doc_id, d.lang FROM documents d
+LEFT JOIN drops USING (doc_id) WHERE drops.doc_id IS NULL
+"""
+)
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     ship_package(spark)
     vecs = _normalized_vectors(spark, sf_dir)
@@ -1421,6 +1447,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_apply": q_dedup_apply,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_topk": q_ann_topk,
     "token_count": q_token_count,
@@ -1488,6 +1515,7 @@ ORACLE_SQL = {
     # and everything downstream of the fit is hash-checked too.
     "ivf_ann": SQL_IVF_ANN.replace("{cen_values}", _ivf_cen_values()),
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_apply": SQL_DEDUP_APPLY,
     "normalize_text": SQL_NORMALIZE_TEXT,
     "hopping_rollup": SQL_HOPPING_ROLLUP,
     "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,

@@ -441,3 +441,18 @@ def dedup_clusters(
         )
     finally:
         edges.unpersist(blocking=False)
+
+
+def apply_dedup(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The final corpus view: drop every clustered document EXCEPT its
+    component representative (docs never seen in a pair pass through
+    untouched). One left-anti join against the non-representative
+    minority — at 100 TB the dropped set is the dup fraction of the
+    corpus, typically broadcastable; when it is not, the anti join
+    shuffles on the id like any equi-join."""
+    drop = clusters.filter(F.col(id_col) != F.col("cluster_rep")).select(id_col)
+    return docs.join(drop, on=id_col, how="left_anti")

@@ -224,3 +224,17 @@ def test_dedup_clusters_convergence_guard(spark):
     # and with enough rounds the same chain resolves to one component
     got = {r.doc_id: r.cluster_rep for r in dedup_clusters(chain).collect()}
     assert set(got.values()) == {11}
+
+
+def test_apply_dedup_keeps_reps_and_unclustered(spark):
+    from cordon_spark.operators.dedup import apply_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(6)], "doc_id long, text string"
+    )
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (3, 3), (4, 3)], "doc_id long, cluster_rep long"
+    )
+    kept = sorted(r.doc_id for r in apply_dedup(docs, clusters).collect())
+    # reps 0 and 3 survive; members 1 and 4 drop; 2 and 5 never paired
+    assert kept == [0, 2, 3, 5]
