@@ -61,6 +61,21 @@ def r4l(col, name):
     return F.floor(col * 10000 + F.lit(0.5)).cast("long").alias(name)
 
 
+def r4l_dec(col, name):
+    """All-decimal spelling of r4l for inputs that are ALREADY exact
+    decimals (value sums accumulated in decimal(20,6)): decimal
+    multiply, decimal add, decimal floor, cast long — no IEEE operation
+    exists anywhere in the chain, so the scaled long is bit-identical
+    on any engine under any evaluation order. DuckDB mirror:
+    floor(sum(v::DECIMAL(20,6))::DECIMAL(20,6)*10000::DECIMAL(10,0)
+          + 0.5::DECIMAL(2,1))::BIGINT."""
+    scaled = (
+        col.cast("decimal(20,6)") * F.lit(10000).cast("decimal(10,0)")
+        + F.lit("0.5").cast("decimal(2,1)")
+    )
+    return F.floor(scaled).cast("long").alias(name)
+
+
 def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -433,8 +448,9 @@ def q_enrich_events(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
             F.sum("risk").cast("long").alias("risk_sum"),
             # decimal sum -> order-independent across parallelism levels;
-            # scaled-long output -> hash-proof cross-engine (see r4l)
-            r4l(F.sum(F.col("value").cast("decimal(20,6)")).cast("double"), "value_sum_e4"),
+            # all-decimal scaled-long output -> hash-proof cross-engine
+            # with no IEEE op anywhere (see r4l_dec)
+            r4l_dec(F.sum(F.col("value").cast("decimal(20,6)")), "value_sum_e4"),
         )
     )
 
@@ -445,7 +461,7 @@ WITH dim(event_type, category, risk) AS
 j AS (SELECT coalesce(d.category, 'unknown') AS category, coalesce(d.risk, 0) AS risk, e.value
       FROM events e LEFT JOIN dim d ON e.event_type = d.event_type)
 SELECT category, count(*) AS n, sum(risk)::BIGINT AS risk_sum,
-       floor(sum(value::DECIMAL(20,6))::DOUBLE*10000 + 0.5)::BIGINT AS value_sum_e4
+       floor(sum(value::DECIMAL(20,6))::DECIMAL(20,6)*10000::DECIMAL(10,0) + 0.5::DECIMAL(2,1))::BIGINT AS value_sum_e4
 FROM j GROUP BY category
 """
 
@@ -796,7 +812,7 @@ def q_sessionize(spark, sf_dir):
     out = sessionize(_events(spark, sf_dir))
     return out.select(
         "user_id", "session_id", "n_events", "start_us", "end_us",
-        r4l(F.col("value_sum"), "value_sum_e4"),
+        r4l_dec(F.col("value_sum"), "value_sum_e4"),
     )
 
 
@@ -807,7 +823,7 @@ s AS (SELECT *, sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE
         OVER (PARTITION BY user_id ORDER BY us, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM l)
 SELECT user_id, session_id, count(*) AS n_events, min(us) AS start_us, max(us) AS end_us,
-       floor(sum(value::DECIMAL(20,6))::DOUBLE*10000 + 0.5)::BIGINT AS value_sum_e4
+       floor(sum(value::DECIMAL(20,6))::DECIMAL(20,6)*10000::DECIMAL(10,0) + 0.5::DECIMAL(2,1))::BIGINT AS value_sum_e4
 FROM s GROUP BY user_id, session_id
 """
 
@@ -832,12 +848,12 @@ def q_time_window_rollup(spark, sf_dir):
     from cordon_spark.operators.events import time_window_rollup
 
     out = time_window_rollup(_events(spark, sf_dir))
-    return out.select("window_id", "event_type", "n", r4l(F.col("value_sum"), "value_sum_e4"))
+    return out.select("window_id", "event_type", "n", r4l_dec(F.col("value_sum"), "value_sum_e4"))
 
 
 SQL_TIME_WINDOW_ROLLUP = """
 SELECT epoch_us(ts) // 3600000000 AS window_id, event_type,
-       count(*) AS n, floor(sum(value::DECIMAL(20,6))::DOUBLE*10000 + 0.5)::BIGINT AS value_sum_e4
+       count(*) AS n, floor(sum(value::DECIMAL(20,6))::DECIMAL(20,6)*10000::DECIMAL(10,0) + 0.5::DECIMAL(2,1))::BIGINT AS value_sum_e4
 FROM events GROUP BY 1, 2
 """
 
@@ -1151,7 +1167,7 @@ def q_hopping_rollup(spark, sf_dir):
 
     out = hopping_window_rollup(_events(spark, sf_dir))
     return out.select(
-        "window_start_us", "event_type", "n", r4l(F.col("value_sum"), "value_sum_e4")
+        "window_start_us", "event_type", "n", r4l_dec(F.col("value_sum"), "value_sum_e4")
     )
 
 
@@ -1163,7 +1179,7 @@ WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
 x AS (SELECT ((us // 900000000) - g.i) * 900000000 AS window_start_us, event_type, value, us
       FROM e, generate_series(0, 3) g(i))
 SELECT window_start_us, event_type, count(*) AS n,
-       floor(sum(value::DECIMAL(20,6))::DOUBLE*10000 + 0.5)::BIGINT AS value_sum_e4
+       floor(sum(value::DECIMAL(20,6))::DECIMAL(20,6)*10000::DECIMAL(10,0) + 0.5::DECIMAL(2,1))::BIGINT AS value_sum_e4
 FROM x WHERE us >= window_start_us AND us < window_start_us + 3600000000
 GROUP BY 1, 2
 """
@@ -1284,7 +1300,7 @@ def q_rollup_hierarchy(spark, sf_dir):
 
     out = hierarchical_rollup(_events(spark, sf_dir))
     return out.select(
-        "bucket", "event_type", "gid", "n", r4l(F.col("value_sum"), "value_sum_e4")
+        "bucket", "event_type", "gid", "n", r4l_dec(F.col("value_sum"), "value_sum_e4")
     )
 
 
@@ -1292,7 +1308,7 @@ SQL_ROLLUP_HIERARCHY = """
 SELECT epoch_us(ts) // 86400000000 AS bucket, event_type,
        grouping_id(epoch_us(ts) // 86400000000, event_type)::BIGINT AS gid,
        count(*) AS n,
-       floor(sum(value::DECIMAL(20,6))::DOUBLE*10000 + 0.5)::BIGINT AS value_sum_e4
+       floor(sum(value::DECIMAL(20,6))::DECIMAL(20,6)*10000::DECIMAL(10,0) + 0.5::DECIMAL(2,1))::BIGINT AS value_sum_e4
 FROM events GROUP BY ROLLUP(1, 2)
 """
 

@@ -45,8 +45,9 @@ def sessionize(
             F.max(micros).alias("end_us"),
             # Sum in decimal so the result is independent of partition /
             # accumulation order (double sums flip the last ulp across
-            # parallelism levels; decimal arithmetic is exact).
-            F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("value_sum"),
+            # parallelism levels; decimal arithmetic is exact) — and KEEP
+            # it decimal so no IEEE op exists anywhere downstream.
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("decimal(20,6)").alias("value_sum"),
         )
         .withColumn("session_id", F.col("session_id").cast("long"))
     )
@@ -78,7 +79,7 @@ def time_window_rollup(
     ).agg(
         F.count(F.lit(1)).alias("n"),
         # Decimal sum: order-independent across partitionings (see sessionize).
-        F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("value_sum"),
+        F.sum(F.col("value").cast("decimal(20,6)")).cast("decimal(20,6)").alias("value_sum"),
     )
 
 
@@ -153,7 +154,7 @@ def hierarchical_rollup(
         .agg(
             F.grouping_id().cast("long").alias("gid"),
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("value_sum"),
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("decimal(20,6)").alias("value_sum"),
         )
     )
 
@@ -180,7 +181,7 @@ def hopping_window_rollup(
         events.groupBy(w.alias("w"), group_col)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("value_sum"),
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("decimal(20,6)").alias("value_sum"),
         )
         .select(
             F.unix_micros(F.col("w.start")).alias("window_start_us"),

@@ -27,7 +27,9 @@ TABLES = [
 ]
 
 
-def value_hash(rows: list[tuple], cols: list[str]) -> str:
+def canonical_rows(rows: list[tuple], cols: list[str]) -> list[str]:
+    """The exact canonical form the hash is computed over: columns
+    sorted by name, floats repr(round(.,9)), None -> ∅, rows sorted."""
     order = np.argsort(cols, kind="stable")
     norm_rows = []
     for row in rows:
@@ -45,7 +47,11 @@ def value_hash(rows: list[tuple], cols: list[str]) -> str:
                 vals.append(str(v))
         norm_rows.append("|".join(vals))
     norm_rows.sort()
-    return hashlib.md5("\n".join(norm_rows).encode()).hexdigest()
+    return norm_rows
+
+
+def value_hash(rows: list[tuple], cols: list[str]) -> str:
+    return hashlib.md5("\n".join(canonical_rows(rows, cols)).encode()).hexdigest()
 
 
 _TYPE_NORM = {
@@ -65,9 +71,22 @@ def type_map(pairs) -> dict:
     return {name: _TYPE_NORM.get(t, t) for name, t in pairs}
 
 
+def dump_rows(name: str, engine: str, rows: list[tuple], cols: list[str]) -> Path:
+    """Write both engines' canonical sorted rows to artifacts/ so a
+    red driver cell is byte-diffable (header = sorted column names)."""
+    out_dir = ROOT / "artifacts"
+    out_dir.mkdir(exist_ok=True)
+    path = out_dir / f"{name}.{engine}.txt"
+    header = "|".join(sorted(cols))
+    path.write_text(header + "\n" + "\n".join(canonical_rows(rows, cols)) + "\n")
+    return path
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    argv = [a for a in sys.argv[1:] if a != "--dump"]
+    dump = "--dump" in sys.argv[1:]
+    sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+    only = argv[1].split(",") if len(argv) > 1 else None
 
     import __spark_entry__ as E
     from cordon_spark.session import get_spark
@@ -127,6 +146,10 @@ def main() -> int:
             h1, h2 = value_hash(srows, cols), value_hash(orows, ocols)
             if h1 != h2:
                 problems.append("value-hash mismatch")
+        if dump:
+            p1 = dump_rows(name, "spark", srows, cols)
+            p2 = dump_rows(name, "oracle", orows, ocols)
+            print(f"dump  {name:28s} -> {p1.name}, {p2.name}")
         if problems:
             print(f"FAIL  {name:28s} {'; '.join(problems)}")
             failures.append(name)
