@@ -77,6 +77,14 @@ def main(argv: list[str] | None = None) -> int:
             print(f"error: {exc}", file=sys.stderr)
             return 2
         path = ds["log_file"]
+        from pathlib import Path as _P
+
+        if not _P(path).exists():
+            # reference evaluate.py:914-917 hint, pointing at the
+            # download manager
+            print(f"ERROR: Dataset not found at {path}")
+            print(f"       Run: python -m cordon_spark.download {args.dataset}")
+            return 1
 
     try:
         sample_size = (
@@ -122,19 +130,23 @@ def main(argv: list[str] | None = None) -> int:
     )
     from cordon_spark.datagen import TEMPLATES
 
-    agg = evaluate_runs(
-        spark,
-        turns,
-        cfg,
-        templates=TEMPLATES if cfg.scorer == "centroid" else None,
-        n_runs=args.runs,
-        sample_size=sample_size,
-        seed=args.seed,
-        output_dir=output_dir,
-        resume=args.resume,
-        generate_plots=args.generate_plots,
-        rare_threshold=args.rare_threshold,
-    )
+    try:
+        agg = evaluate_runs(
+            spark,
+            turns,
+            cfg,
+            templates=TEMPLATES if cfg.scorer == "centroid" else None,
+            n_runs=args.runs,
+            sample_size=sample_size,
+            seed=args.seed,
+            output_dir=output_dir,
+            resume=args.resume,
+            generate_plots=args.generate_plots,
+            rare_threshold=args.rare_threshold,
+        )
+    except ValueError as exc:
+        print(f"ERROR: {exc}", file=sys.stderr)
+        return 2
     print(json.dumps(agg, indent=1))
     return 0
 

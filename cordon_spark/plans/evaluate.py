@@ -232,6 +232,15 @@ def evaluate_runs(
         if resume and (out_dir / "parameters.yaml").exists():
             params = yaml.safe_load((out_dir / "parameters.yaml").read_text())
             seed = params.get("seed", seed)  # original seed wins
+            # A resumed sweep must aggregate runs of ONE sample size —
+            # silently mixing sizes would corrupt the mean/std.
+            orig_n = params.get("sample_size", sample_size)
+            if orig_n != sample_size:
+                raise ValueError(
+                    f"resume sample_size mismatch: sweep was started with "
+                    f"sample_size={orig_n}, got {sample_size}; rerun with "
+                    f"--sample-size {'full' if orig_n is None else orig_n}"
+                )
         out_dir.mkdir(parents=True, exist_ok=True)
         # A FRESH sweep always rewrites parameters.yaml (a stale seed
         # from an earlier sweep into the same dir would poison a later

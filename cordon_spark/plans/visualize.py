@@ -38,6 +38,9 @@ def score_distribution_data(
     distributed aggregation: shared bin edges over [min, max], one
     hash-agg on (bin, label). Output is O(n_bins) regardless of input
     size."""
+    # NULL scores (unscored windows) carry no histogram information and
+    # would land in bin None — drop them before bucketing
+    scored = scored.filter(F.col(score_col).isNotNull())
     bounds = scored.agg(
         F.min(score_col).alias("lo"), F.max(score_col).alias("hi")
     ).collect()[0]

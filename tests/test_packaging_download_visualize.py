@@ -1,0 +1,279 @@
+"""Round-4 surface: dataset download manager (mocked transport),
+standalone visualize CLI (pipeline + re-render modes), packaging
+console scripts, and the eval-sweep guard rails."""
+
+import io
+import json
+import subprocess
+import sys
+import zipfile
+from pathlib import Path
+
+import pytest
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+# ------------------------------------------------------------------ #
+# download manager (reference benchmark/download.py port)
+# ------------------------------------------------------------------ #
+class FakeResponse:
+    def __init__(self, payload: bytes):
+        self.payload = payload
+        self.headers = {"content-length": str(len(payload))}
+
+    def raise_for_status(self):
+        pass
+
+    def iter_content(self, chunk_size=8192):
+        for i in range(0, len(self.payload), chunk_size):
+            yield self.payload[i : i + chunk_size]
+
+
+def _zip_bytes(files: dict[str, str]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for name, content in files.items():
+            z.writestr(name, content)
+    return buf.getvalue()
+
+
+def _manifest(tmp_path, extract_to):
+    m = tmp_path / "datasets.yaml"
+    m.write_text(
+        "datasets:\n"
+        "  toy:\n"
+        "    name: Toy Logs\n"
+        "    url: http://example.invalid/toy.zip\n"
+        "    log_file: toy.log\n"
+        "    labels_file: labels.csv\n"
+        f"    extract_to: {extract_to}\n"
+        "    total_lines: 1000\n"
+        "    anomaly_rate: 0.03\n"
+    )
+    return str(m)
+
+
+def test_download_extracts_and_skips_existing(tmp_path, capsys):
+    from cordon_spark.download import download_dataset
+
+    manifest = _manifest(tmp_path, tmp_path / "data")
+    payload = _zip_bytes({"toy.log": "line1\nline2\n", "labels.csv": "id,label\n"})
+    calls = []
+
+    def fake_get(url):
+        calls.append(url)
+        return FakeResponse(payload)
+
+    out = download_dataset("toy", manifest_path=manifest, http_get=fake_get)
+    assert (out / "toy.log").read_text() == "line1\nline2\n"
+    assert (out / "labels.csv").exists()
+    assert calls == ["http://example.invalid/toy.zip"]
+
+    # both files exist -> skip (reference download.py:40-44)
+    download_dataset("toy", manifest_path=manifest, http_get=fake_get)
+    assert len(calls) == 1
+    skip_out = capsys.readouterr().out
+    assert "already exists" in skip_out
+    assert "Use --force to re-download" in skip_out
+
+    # --force refetches
+    download_dataset("toy", force=True, manifest_path=manifest, http_get=fake_get)
+    assert len(calls) == 2
+
+
+def test_download_unknown_dataset_lists_available(tmp_path):
+    from cordon_spark.download import download_dataset
+
+    manifest = _manifest(tmp_path, tmp_path / "data")
+    with pytest.raises(ValueError, match="Unknown dataset 'nope'. Available: toy"):
+        download_dataset("nope", manifest_path=manifest)
+
+
+def test_download_cli_list(tmp_path, capsys):
+    from cordon_spark.download import main
+
+    manifest = _manifest(tmp_path, tmp_path / "data")
+    assert main(["--list", "--manifest", manifest]) == 0
+    out = capsys.readouterr().out
+    assert "toy: Toy Logs" in out
+    assert "Lines: 1,000" in out
+    assert "Anomaly rate: 3.00%" in out
+    # unknown id through the CLI -> clean error, exit 1
+    assert main(["nope", "--manifest", manifest]) == 1
+    assert "Unknown dataset" in capsys.readouterr().out
+
+
+# ------------------------------------------------------------------ #
+# standalone visualize CLI (reference benchmark/visualize.py:492-652)
+# ------------------------------------------------------------------ #
+@pytest.fixture(scope="module")
+def labeled_transcripts_parquet(spark, tmp_path_factory):
+    from cordon_spark.datagen import generate_transcripts, write_parquet
+
+    pdf, _ = generate_transcripts(n_convs=4, mean_turns=20, seed=9,
+                                  with_edge_cases=False)
+    pdf["is_anomaly"] = pdf.index % 11 == 0
+    p = tmp_path_factory.mktemp("viz") / "turns.parquet"
+    write_parquet(pdf, str(p))
+    return str(p)
+
+
+def test_visualize_cli_pipeline_mode(spark, labeled_transcripts_parquet, tmp_path, capsys):
+    from cordon_spark.visualize_cli import main
+
+    out_dir = tmp_path / "viz_out"
+    rc = main(["--input", labeled_transcripts_parquet, "--sample-size", "full",
+               "--output-dir", str(out_dir)])
+    assert rc == 0
+    assert "Visualization complete!" in capsys.readouterr().out
+    sd = json.loads((out_dir / "plots" / "score_distribution.json").read_text())
+    proj = json.loads((out_dir / "plots" / "projection.json").read_text())
+    n_points = len(proj)
+    assert n_points > 0
+    # every scored window appears exactly once in the histogram and
+    # (at this size, under the sample cap) in the projection
+    assert sum(sd["normal"]) + sum(sd["anomaly"]) == n_points
+    assert {"x", "y", "score", "label", "method"} <= set(proj[0])
+    assert proj[0]["method"] in ("pca", "umap")
+
+
+def test_visualize_cli_rerender_run_dir(labeled_transcripts_parquet, tmp_path, capsys):
+    """--run-dir re-renders saved plot JSON without a Spark session
+    (the VERDICT's 'standalone visualize CLI' gap)."""
+    from cordon_spark.visualize_cli import main
+
+    run_dir = tmp_path / "run_000"
+    plots = run_dir / "plots"
+    plots.mkdir(parents=True)
+    (plots / "score_distribution.json").write_text(json.dumps(
+        {"bins": [0.0, 0.5, 1.0], "normal": [3, 1], "anomaly": [0, 2],
+         "normal_mean": 0.2, "anomaly_mean": 0.8}))
+    rc = main(["--run-dir", str(run_dir)])
+    assert rc == 0
+    assert "Re-rendered" in capsys.readouterr().out
+    # empty dir -> clean error
+    assert main(["--run-dir", str(tmp_path / "nope")]) == 1
+
+
+def test_visualize_cli_missing_dataset_hint(tmp_path, capsys):
+    """Manifest-resolved dataset whose file is absent -> the reference's
+    download hint (evaluate.py:914-917), pointing at our module."""
+    from cordon_spark.visualize_cli import main
+
+    manifest = tmp_path / "datasets.yaml"
+    manifest.write_text(
+        f"datasets:\n  toy:\n    name: Toy\n    log_file: {tmp_path}/absent.log\n"
+    )
+    rc = main(["toy", "--manifest", str(manifest)])
+    assert rc == 1
+    out = capsys.readouterr().out
+    assert "ERROR: Dataset not found" in out
+    assert "Run: python -m cordon_spark.download toy" in out
+
+
+def test_evaluate_cli_missing_dataset_hint(tmp_path, capsys):
+    from cordon_spark.evaluate_cli import main
+
+    manifest = tmp_path / "datasets.yaml"
+    manifest.write_text(
+        f"datasets:\n  toy:\n    name: Toy\n    log_file: {tmp_path}/absent.log\n"
+    )
+    rc = main(["toy", "--manifest", str(manifest)])
+    assert rc == 1
+    out = capsys.readouterr().out
+    assert "ERROR: Dataset not found" in out
+    assert "Run: python -m cordon_spark.download toy" in out
+
+
+# ------------------------------------------------------------------ #
+# eval sweep guard rails
+# ------------------------------------------------------------------ #
+def test_evaluate_resume_sample_size_mismatch(spark, tmp_path):
+    """Resuming a sweep with a different --sample-size must error, not
+    silently mix sample sizes into one mean/std aggregate."""
+    from cordon_spark.config import AnalysisConfig
+    from cordon_spark.datagen import generate_transcripts
+    from cordon_spark.plans.evaluate import evaluate_runs
+
+    pdf, _ = generate_transcripts(n_convs=3, mean_turns=15, seed=6,
+                                  with_edge_cases=False)
+    pdf["is_anomaly"] = False
+    pdf["template_id"] = pdf["text"].str.split().str[0]
+    turns = spark.createDataFrame(pdf)
+    cfg = AnalysisConfig(window_size=4, anomaly_percentile=0.2)
+    out = str(tmp_path / "sweep")
+    evaluate_runs(spark, turns, cfg, n_runs=1, sample_size=30, seed=42,
+                  output_dir=out, rare_threshold=10)
+    with pytest.raises(ValueError, match="resume sample_size mismatch"):
+        evaluate_runs(spark, turns, cfg, n_runs=2, sample_size=50, seed=42,
+                      output_dir=out, resume=True, rare_threshold=10)
+    # same size resumes fine
+    agg = evaluate_runs(spark, turns, cfg, n_runs=2, sample_size=30, seed=42,
+                        output_dir=out, resume=True, rare_threshold=10)
+    assert agg["num_runs"] == 2
+
+
+def test_evaluate_cli_generate_plots_writes_artifacts(spark, tmp_path, capsys):
+    """--generate-plots must land the JSON plot artifacts in each run
+    dir even without matplotlib (the silent-degrade check the round-3
+    verdict asked to pin e2e)."""
+    from cordon_spark.datagen import generate_transcripts, write_parquet
+    from cordon_spark.evaluate_cli import main
+
+    pdf, _ = generate_transcripts(n_convs=4, mean_turns=20, seed=4,
+                                  with_edge_cases=False)
+    pdf["is_anomaly"] = pdf.index % 13 == 0
+    pdf["template_id"] = pdf["text"].str.split().str[0]
+    data = tmp_path / "turns.parquet"
+    write_parquet(pdf, str(data))
+    rc = main(["--input", str(data), "--runs", "1", "--sample-size", "full",
+               "--output-dir", str(tmp_path / "runs"), "--run-name", "rP",
+               "--rare-threshold", "10", "--generate-plots"])
+    assert rc == 0
+    plots = tmp_path / "runs" / "rP" / "run_000" / "plots"
+    assert (plots / "score_distribution.json").exists()
+    assert (plots / "template_coverage.json").exists()
+    sd = json.loads((plots / "score_distribution.json").read_text())
+    assert sum(sd["normal"]) + sum(sd["anomaly"]) > 0
+
+
+def test_score_distribution_null_scores(spark):
+    """NULL scores must not crash the histogram (they carry no signal
+    and are dropped before bucketing)."""
+    from cordon_spark.plans.visualize import score_distribution_data
+
+    df = spark.createDataFrame(
+        [(0.1, False), (0.9, True), (None, False)],
+        "score double, is_anomaly boolean",
+    )
+    sd = score_distribution_data(df, n_bins=4)
+    assert sum(sd["normal"]) == 1 and sum(sd["anomaly"]) == 1
+
+
+# ------------------------------------------------------------------ #
+# packaging: console scripts install + run in a clean venv
+# ------------------------------------------------------------------ #
+def test_console_scripts_install(tmp_path):
+    """The repo is a real package: an editable install into a fresh
+    venv exposes cordon-spark / cordon-spark-evaluate /
+    cordon-spark-visualize console scripts (reference
+    pyproject.toml:21-22 surface). setup.py develop is the wheel-free
+    path this sandbox supports; `pip install -e .` is equivalent where
+    the wheel package exists."""
+    venv = tmp_path / "venv"
+    subprocess.run([sys.executable, "-m", "venv", "--system-site-packages",
+                    str(venv)], check=True)
+    py = venv / "bin" / "python"
+    r = subprocess.run([str(py), "setup.py", "develop"], cwd=ROOT,
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    for script, frag in (
+        ("cordon-spark", "usage: cordon-spark"),
+        ("cordon-spark-evaluate", "usage: cordon-spark-evaluate"),
+        ("cordon-spark-visualize", "usage: cordon-spark-visualize"),
+    ):
+        h = subprocess.run([str(venv / "bin" / script), "--help"],
+                           capture_output=True, text=True)
+        assert h.returncode == 0, h.stderr[-500:]
+        assert frag in h.stdout
