@@ -95,8 +95,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
     # host CPU-steal on this box swings identical runs 2-3x (BENCH.md);
-    # best-of-N is the stable steady-state signal a long job would see
+    # best-of-N is the stable steady-state signal a long job would see.
+    # The HEADLINE gets best-of-5: a single steal-band sample whipsawed
+    # the round-3 driver record by 59% on byte-identical code, so the
+    # headline number needs enough samples to punch through the band.
     repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "2"))
+    headline_repeats = int(os.environ.get("SPARK_GRAFT_HEADLINE_REPEATS", "5"))
 
     # ---- headline: parse + window + embed + centroid-score + route ----
     transcripts = spark.read.parquet(tpath)
@@ -110,19 +114,23 @@ def main() -> None:
         spark, transcripts.sample(0.05, seed=1), warm_cfg, templates=TEMPLATES
     )
     warm.unpersist()
-    best = None
-    for _ in range(repeats):
+    samples = []
+    for _ in range(headline_repeats):
         t0 = time.perf_counter()
         cfg = AnalysisConfig(scorer="centroid", anomaly_percentile=0.02)
         res = analyze_transcripts(spark, transcripts, cfg, templates=TEMPLATES)
         n_routed = res.counts["anomalous"] + res.counts["routine"]
         elapsed = time.perf_counter() - t0
         res.unpersist()
-        if best is None or elapsed < best:
-            best = elapsed
+        samples.append(elapsed)
+    best = min(samples)
+    samples.sort()
     timings["pipeline_centroid"] = best
     extras["turns_per_sec"] = n_routed / best if best else 0.0
     extras["n_turns"] = float(n_routed)
+    # full disclosure of the steal band this run saw
+    extras["headline_samples"] = [round(s, 3) for s in samples]
+    extras["headline_median"] = samples[len(samples) // 2]
 
     # ---- exact k-NN pipeline at oracle scale (windows are few) --------
     timings["pipeline_knn_vec"] = min(
@@ -170,6 +178,8 @@ def main() -> None:
                 "parallelism": cpus,
                 "turns_per_sec": round(extras["turns_per_sec"], 1),
                 "n_turns": int(extras["n_turns"]),
+                "headline_samples": extras["headline_samples"],
+                "headline_median": round(extras["headline_median"], 3),
             }
         )
     )

@@ -360,6 +360,7 @@ def dedup_clusters(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = 20,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into connected-component clusters:
     output (doc_id, cluster_rep) where cluster_rep = the component's
@@ -381,6 +382,16 @@ def dedup_clusters(
     plan string around round ~15); checkpointing truncates lineage so
     every round's plan is one join + one agg, constant size.
 
+    Checkpoint durability: the default localCheckpoint stores the
+    iteration state on executors — fast, but NOT fault-tolerant (an
+    executor loss mid-resolve loses partitions and fails the job,
+    acceptable on a single host). For a 100 TB resolve on a real
+    cluster pass `reliable_checkpoint=True` AFTER setting
+    `spark.sparkContext.setCheckpointDir(<hdfs/s3 path>)`: each
+    round's labels then go through a reliable `DataFrame.checkpoint`
+    to that directory and survive executor loss. Same lineage
+    truncation either way.
+
     At 100 TB: label state is one (node, label) row per distinct doc in
     any pair (the dup minority, NOT the corpus); for adversarial
     diameter graphs swap in the large-star/small-star variant — the
@@ -393,11 +404,20 @@ def dedup_clusters(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = (
+    if reliable_checkpoint:
+        sc = pairs.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            raise ValueError(
+                "reliable_checkpoint=True requires "
+                "spark.sparkContext.setCheckpointDir(...) first"
+            )
+        ckpt = lambda df: df.checkpoint(eager=True)  # noqa: E731
+    else:
+        ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+    labels = ckpt(
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("lab", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     try:
         for _ in range(max_iters):
@@ -415,13 +435,12 @@ def dedup_clusters(
             hop = stepped.select(
                 F.col("node").alias("_hn"), F.col("lab").alias("_hl")
             )
-            new_labels = (
+            new_labels = ckpt(
                 stepped.join(hop, stepped.lab == hop._hn, "left")
                 .select(
                     "node",
                     F.least(F.col("lab"), F.coalesce("_hl", F.col("lab"))).alias("lab"),
                 )
-                .localCheckpoint(eager=True)
             )
             changed = (
                 new_labels.join(labels.withColumnRenamed("lab", "old"), on="node")

@@ -69,27 +69,42 @@ def brute_force_topk(
 
 def _merge_kmeans_partials(batches):
     """Executor-side level of the k-means tree reduce: combine rows of
-    the (cid, cnt, flat) partial schema into one row per partition."""
+    the (pid, cid, cnt, flat) partial schema into one row per partition.
+
+    Rows are buffered and summed in SOURCE-PARTITION-ID ORDER, not
+    shuffle-arrival order: float addition is not associative, and the
+    fetch order of the repartition(fanin) exchange is nondeterministic —
+    summing sorted by pid keeps the fit bit-reproducible for a fixed
+    input partitioning even when the tree path is engaged (the
+    bit-determinism the baked ivf_ann oracle depends on). The merged
+    row carries min(pid) so the driver-level merge can sort the same
+    way."""
     import pandas as pd
 
-    sums = None
-    cnts = None
+    rows = []
     for pdf in batches:
         for _, row in pdf.iterrows():
             if not len(row["cid"]):
                 continue
             k = len(row["cid"])
-            flat = np.asarray(row["flat"], dtype=np.float64).reshape(k, -1)
-            cnt = np.asarray(row["cnt"], dtype=np.int64)
-            if sums is None:
-                sums, cnts = flat.copy(), cnt.copy()
-            else:
-                sums += flat
-                cnts += cnt
-    if sums is None:
+            rows.append(
+                (
+                    int(row["pid"]),
+                    np.asarray(row["flat"], dtype=np.float64).reshape(k, -1),
+                    np.asarray(row["cnt"], dtype=np.int64),
+                )
+            )
+    if not rows:
         return
+    rows.sort(key=lambda r: r[0])
+    sums = rows[0][1].copy()
+    cnts = rows[0][2].copy()
+    for _, flat, cnt in rows[1:]:
+        sums += flat
+        cnts += cnt
     yield pd.DataFrame(
         {
+            "pid": [rows[0][0]],
             "cid": [list(range(sums.shape[0]))],
             "cnt": [cnts.tolist()],
             "flat": [sums.ravel().tolist()],
@@ -114,7 +129,13 @@ def kmeans_fit(
     tiny k x dim partials merge on the driver — the same
     map-side-partial shape as scoring.template_centroids, with the same
     two-level tree reduce above _TREE_FANIN partitions so the driver
-    sees O(sqrt(P)) rows at any executor count.
+    sees O(sqrt(P)) rows at any executor count. Every partial carries
+    its source partition id and both merge levels sum in pid order, so
+    the fit is bit-reproducible for a fixed input partitioning at ANY
+    parallelism — including when the tree path is engaged (shuffle
+    arrival order never reaches a float add). Changing the input
+    PARTITIONING (e.g. different file splits) still moves the last ulp;
+    the baked-oracle generator pins the partitioning for that reason.
     Empty clusters keep their previous centroid.
 
     The input is PERSISTED for the duration of the fit (unless the
@@ -153,6 +174,7 @@ def kmeans_fit(
 
         schema = T.StructType(
             [
+                T.StructField("pid", T.LongType()),
                 T.StructField("cid", T.ArrayType(T.LongType())),
                 T.StructField("cnt", T.ArrayType(T.LongType())),
                 T.StructField("flat", T.ArrayType(T.DoubleType())),
@@ -164,6 +186,7 @@ def kmeans_fit(
 
             def partials(batches):
                 import pandas as pd
+                from pyspark import TaskContext
 
                 cen = bc.value
                 sums = np.zeros_like(cen)
@@ -181,6 +204,7 @@ def kmeans_fit(
                     return
                 yield pd.DataFrame(
                     {
+                        "pid": [TaskContext.get().partitionId()],
                         "cid": [list(range(cen.shape[0]))],
                         "cnt": [cnts.tolist()],
                         "flat": [sums.ravel().tolist()],
@@ -197,7 +221,11 @@ def kmeans_fit(
                 partial_df = partial_df.repartition(fanin).mapInPandas(
                     _merge_kmeans_partials, schema
                 )
-            part = partial_df.toPandas()
+            # driver merge in pid order: toPandas row order follows the
+            # (deterministic) partition order already, but sorting makes
+            # the bit-reproducibility contract explicit rather than
+            # incidental — see _merge_kmeans_partials.
+            part = partial_df.toPandas().sort_values("pid")
             sums = np.zeros_like(centroids)
             cnts = np.zeros(k, dtype=np.int64)
             for _, row in part.iterrows():

@@ -238,3 +238,26 @@ def test_apply_dedup_keeps_reps_and_unclustered(spark):
     kept = sorted(r.doc_id for r in apply_dedup(docs, clusters).collect())
     # reps 0 and 3 survive; members 1 and 4 drop; 2 and 5 never paired
     assert kept == [0, 2, 3, 5]
+
+
+def test_dedup_clusters_reliable_checkpoint(spark, tmp_path):
+    """reliable_checkpoint=True routes iteration state through a
+    reliable checkpoint dir (fault-tolerant at 100 TB) and produces the
+    identical labeling; without setCheckpointDir it refuses up front."""
+    import pytest as _pytest
+
+    from cordon_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (9, 7), (20, 21)], "doc_a long, doc_b long"
+    )
+    sc = spark.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isEmpty():
+        with _pytest.raises(ValueError, match="setCheckpointDir"):
+            dedup_clusters(pairs, reliable_checkpoint=True)
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    got = {
+        r.doc_id: r.cluster_rep
+        for r in dedup_clusters(pairs, reliable_checkpoint=True).collect()
+    }
+    assert got == {3: 3, 5: 3, 7: 3, 9: 3, 20: 20, 21: 20}

@@ -197,3 +197,15 @@ def test_quantized_ann_recall(spark):
     z = spark.createDataFrame([(1, [0.0, 0.0])], "vec_id long, v array<double>")
     zr = quantize_embeddings(z).collect()[0]
     assert zr.q_scale == 0.0 and list(zr.qv) == [0, 0]
+
+
+def test_kmeans_fit_tree_reduce_bit_reproducible(spark):
+    """With >_TREE_FANIN partitions the two-level tree reduce engages;
+    partials carry their source partition id and merge in pid order, so
+    repeated fits are BIT-identical (not just allclose) even though the
+    shuffle arrival order varies run to run."""
+    df, _ = _vec_df(spark, n=400, dim=8, seed=11)
+    wide = df.repartition(80)  # > _TREE_FANIN=64 -> tree path
+    c1 = S.kmeans_fit(wide, k=6, iters=3)
+    c2 = S.kmeans_fit(wide, k=6, iters=3)
+    assert np.array_equal(c1, c2)
