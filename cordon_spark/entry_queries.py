@@ -1448,6 +1448,100 @@ FROM c
 """
 
 
+# ------------------------------------------------------------------ #
+# Lexical ranking / retrieval (operators/ranking.py) + entropy filter
+# ------------------------------------------------------------------ #
+BM25_QUERY = ["spark", "join", "window"]
+
+
+def q_tfidf_terms(spark, sf_dir):
+    """Top-5 TF-IDF terms per document (keyword extraction for
+    curation/triage); tfidf exposed as a scaled long."""
+    ship_package(spark)
+    from cordon_spark.operators.ranking import tfidf_top_terms
+
+    out = tfidf_top_terms(_docs(spark, sf_dir), k=5)
+    return out.select(
+        "doc_id", "rank", "term", r4l(F.col("tfidf"), "tfidf_e4")
+    )
+
+
+SQL_TFIDF_TERMS = f"""
+WITH {_TOKS_SQL.strip()},
+t AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+s AS (SELECT doc_id, term,
+             tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS tfidf
+      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        ORDER BY tfidf DESC, term) AS rank FROM s)
+SELECT doc_id, rank, term, floor(tfidf*10000 + 0.5)::BIGINT AS tfidf_e4
+FROM r WHERE rank <= 5
+"""
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 retrieval scores for a fixed 3-term query over documents;
+    the per-term partial scores sum in decimal so the total is
+    order-independent (same convention as the event value sums)."""
+    ship_package(spark)
+    from cordon_spark.operators.ranking import bm25_search
+
+    out = bm25_search(_docs(spark, sf_dir), BM25_QUERY)
+    return out.select("doc_id", r4l_dec(F.col("score"), "score_e4"))
+
+
+SQL_BM25_SEARCH = f"""
+WITH {_TOKS_SQL.strip()},
+tk2 AS (SELECT doc_id, coalesce(toks, []::VARCHAR[]) AS toks FROM tk),
+t AS (SELECT doc_id, unnest(toks) AS term FROM tk2),
+dl AS (SELECT doc_id, len(toks)::DOUBLE AS dl FROM tk2),
+st AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM tk2),
+q(term) AS (VALUES ('spark'), ('join'), ('window')),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+       WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM t
+        WHERE term IN (SELECT term FROM q) GROUP BY 1),
+s AS (SELECT tf.doc_id,
+             ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+      FROM tf JOIN dfq USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN st)
+SELECT doc_id,
+       floor(sum(s::DECIMAL(20,6))::DECIMAL(20,6)*10000::DECIMAL(10,0)
+             + 0.5::DECIMAL(2,1))::BIGINT AS score_e4
+FROM s GROUP BY doc_id
+"""
+
+
+def q_char_entropy(spark, sf_dir):
+    """Per-document character-entropy quality signal (bits/char)."""
+    ship_package(spark)
+    from cordon_spark.functions.text import char_entropy_cols
+
+    out = char_entropy_cols(_docs(spark, sf_dir))
+    return out.select("doc_id", r4l(F.col("char_entropy"), "entropy_e4"))
+
+
+SQL_CHAR_ENTROPY = """
+WITH c AS (SELECT doc_id, unnest(string_split_regex(coalesce(text, ''), '')) AS ch
+           FROM documents),
+cnt AS (SELECT doc_id, ch, count(*)::DOUBLE AS c FROM c WHERE ch <> ''
+        GROUP BY 1, 2),
+-- the per-char terms sum in ASCENDING char order, matching the Spark
+-- fold's sorted-array order exactly (same float adds, same order)
+agg AS (SELECT doc_id, sum(c) AS n, list(c * log2(c) ORDER BY ch) AS terms
+        FROM cnt GROUP BY 1),
+e AS (SELECT doc_id, log2(n) - list_sum(terms) / n AS h FROM agg)
+SELECT d.doc_id,
+       floor(coalesce(e.h, 0.0)*10000 + 0.5)::BIGINT AS entropy_e4
+FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
+"""
+
+
 QUERIES = {
     "window_segment": q_window_segment,
     "knn_score": q_knn_score,
@@ -1491,6 +1585,9 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
+    "tfidf_terms": q_tfidf_terms,
+    "bm25_search": q_bm25_search,
+    "char_entropy": q_char_entropy,
 }
 
 ORACLE_SQL = {
@@ -1542,4 +1639,7 @@ ORACLE_SQL = {
     "decontaminate": SQL_DECONTAMINATE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "tfidf_terms": SQL_TFIDF_TERMS,
+    "bm25_search": SQL_BM25_SEARCH,
+    "char_entropy": SQL_CHAR_ENTROPY,
 }

@@ -198,3 +198,55 @@ def normalize_text_cols(
     stripped = F.regexp_replace(nfc(F.col(text_col)), ctrl, "")
     collapsed = F.trim(F.regexp_replace(stripped, ws_class("java") + "+", " "))
     return df.withColumn(out_col, collapsed)
+
+
+def char_entropy_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Shannon entropy (bits/char) of the character distribution — the
+    classic cheap randomness/perplexity proxy a curation pipeline uses
+    to drop binary junk (high entropy) and degenerate repetition (low
+    entropy) before any model-based scoring.
+
+    100 TB shape: NO explode/shuffle — the identity
+    H = log2(n) - (sum_c cnt_c*log2(cnt_c)) / n turns entropy into one
+    O(L log L) per-row fold over the SORTED char array (run boundaries
+    close each count), the same JVM fold pattern as repetition_cols.
+    The fold adds run contributions in ascending-char order, which the
+    SQL oracle reproduces exactly (list(cnt ORDER BY ch)), so the
+    float sum is order-identical cross-engine. Chars here are UTF-16
+    units on Spark vs codepoints in DuckDB — identical for BMP text
+    (everything in the fixtures); astral-plane text would diverge, by
+    construction of the engines' string models."""
+    chars = F.array_sort(
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), ""),
+            lambda x: x != "",
+        )
+    )
+    step = df.withColumn("_cs", F.explode(F.array(chars)))  # Generate barrier
+    n = F.size("_cs").cast("double")
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0.0).alias("run"),
+        F.lit(0.0).alias("s"),
+    )
+    # close each run at its boundary: s += run*log2(run); finish closes
+    # the final run
+    s_sum = F.aggregate(
+        F.col("_cs"),
+        acc0,
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1.0).otherwise(F.lit(1.0)).alias("run"),
+            (
+                a["s"]
+                + F.when(
+                    (x != a["prev"]) & (a["run"] > 0.0),
+                    a["run"] * F.log2(a["run"]),
+                ).otherwise(F.lit(0.0))
+            ).alias("s"),
+        ),
+        lambda a: a["s"]
+        + F.when(a["run"] > 0.0, a["run"] * F.log2(a["run"])).otherwise(F.lit(0.0)),
+    )
+    entropy = F.when(n > 0.0, F.log2(n) - s_sum / n).otherwise(F.lit(0.0))
+    return step.withColumn("char_entropy", entropy).drop("_cs")

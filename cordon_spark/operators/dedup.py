@@ -361,6 +361,7 @@ def dedup_clusters(
     b_col: str = "doc_b",
     max_iters: int = 20,
     reliable_checkpoint: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into connected-component clusters:
     output (doc_id, cluster_rep) where cluster_rep = the component's
@@ -420,7 +421,7 @@ def dedup_clusters(
         .withColumn("lab", F.col("node"))
     )
     try:
-        for _ in range(max_iters):
+        for _round in range(max_iters):
             neighbor_min = (
                 edges.join(labels, edges.b == labels.node)
                 .groupBy(edges.a.alias("node"))
@@ -450,6 +451,8 @@ def dedup_clusters(
             )
             labels = new_labels
             if changed == 0:
+                if stats is not None:  # rounds-to-convergence, for benches
+                    stats["rounds"] = _round + 1
                 return labels.select(
                     F.col("node").alias("doc_id"), F.col("lab").alias("cluster_rep")
                 )

@@ -82,3 +82,31 @@ def test_knn_score_zero_shuffle(spark):
 
     c = _counts(Q.QUERIES["knn_score"](spark, SF_DIR))
     assert c["shuffles"] == 0, c["plan"]
+
+
+def test_tfidf_single_corpus_aggregation(spark):
+    """TF-IDF: the corpus-side (doc, term) aggregation must appear
+    EXACTLY once in the plan — df is a count window over the tf
+    output, NOT a join against a second corpus agg (the join spelling
+    plans the big agg subtree twice; measured, no exchange reuse)."""
+    from cordon_spark import entry_queries as Q
+
+    c = _counts(Q.QUERIES["tfidf_terms"](spark, SF_DIR))
+    big_aggs = [
+        ln
+        for ln in c["plan"].splitlines()
+        if "Exchange hashpartitioning(" in ln
+        and "doc_id" in ln
+        and "term" in ln
+    ]
+    assert len(big_aggs) == 1, c["plan"]
+    assert c["broadcasts"] >= 1, c["plan"]  # the 1-row n_docs agg
+
+
+def test_char_entropy_shuffle_free(spark):
+    """Entropy is a per-row sorted-run fold: zero exchanges."""
+    from cordon_spark.functions.text import char_entropy_cols
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    c = _counts(char_entropy_cols(df).select("doc_id", "char_entropy"))
+    assert c["shuffles"] == 0, c["plan"]
