@@ -1542,6 +1542,53 @@ FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
 """
 
 
+def q_curate_corpus(spark, sf_dir):
+    """The composed curation pipeline (quality stats -> filter -> PII
+    scrub -> exact dedup -> survivors) as one plan; every stage is
+    individually oracle-proven, and the composition itself is
+    hash-checked here end-to-end."""
+    ship_package(spark)
+    out = C.curate_corpus(_docs(spark, sf_dir), min_tokens=20)
+    return out.select(
+        "doc_id", "n_copies", "n_tokens",
+        r4l(F.col("char_entropy"), "entropy_e4"), "clean_md5",
+    )
+
+
+SQL_CURATE_CORPUS = f"""
+WITH {_TOKS_SQL.strip()},
+q AS (SELECT d.doc_id, d.text, len(tk.toks)::BIGINT AS n_tokens
+      FROM documents d JOIN tk USING (doc_id)),
+chx AS (SELECT doc_id, unnest(string_split_regex(coalesce(text, ''), '')) AS ch
+        FROM documents),
+cntx AS (SELECT doc_id, ch, count(*)::DOUBLE AS c FROM chx WHERE ch <> ''
+         GROUP BY 1, 2),
+agx AS (SELECT doc_id, sum(c) AS n, list(c * log2(c) ORDER BY ch) AS terms
+        FROM cntx GROUP BY 1),
+ex AS (SELECT doc_id, log2(n) - list_sum(terms) / n AS h FROM agx),
+j AS (SELECT q.doc_id, q.text, q.n_tokens, coalesce(ex.h, 0.0) AS h
+      FROM q LEFT JOIN ex ON q.doc_id = ex.doc_id),
+k AS (SELECT * FROM j WHERE n_tokens >= 20 AND h >= 3.0),
+s1 AS (SELECT doc_id, n_tokens, h,
+              regexp_replace(coalesce(text, ''), '{{EMAIL}}', '<EMAIL>', 'g') AS s
+       FROM k),
+s2 AS (SELECT doc_id, n_tokens, h,
+              regexp_replace(s, '{{IPV4}}', '<IP>', 'g') AS s FROM s1),
+s3 AS (SELECT doc_id, n_tokens, h,
+              regexp_replace(s, '{{PHONE}}', '<PHONE>', 'g') AS s FROM s2),
+dd AS (SELECT md5(s) AS clean_md5, min(doc_id) AS doc_id,
+              count(*)::BIGINT AS n_copies,
+              arg_min(n_tokens, doc_id) AS n_tokens,
+              arg_min(h, doc_id) AS h
+       FROM s3 GROUP BY 1)
+SELECT doc_id, n_copies, n_tokens,
+       floor(h*10000 + 0.5)::BIGINT AS entropy_e4, clean_md5
+FROM dd
+""".replace("{EMAIL}", C.EMAIL_RE).replace("{IPV4}", C.IPV4_RE).replace(
+    "{PHONE}", C.PHONE_RE
+)
+
+
 QUERIES = {
     "window_segment": q_window_segment,
     "knn_score": q_knn_score,
@@ -1588,6 +1635,7 @@ QUERIES = {
     "tfidf_terms": q_tfidf_terms,
     "bm25_search": q_bm25_search,
     "char_entropy": q_char_entropy,
+    "curate_corpus": q_curate_corpus,
 }
 
 ORACLE_SQL = {
@@ -1642,4 +1690,5 @@ ORACLE_SQL = {
     "tfidf_terms": SQL_TFIDF_TERMS,
     "bm25_search": SQL_BM25_SEARCH,
     "char_entropy": SQL_CHAR_ENTROPY,
+    "curate_corpus": SQL_CURATE_CORPUS,
 }

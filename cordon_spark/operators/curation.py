@@ -151,3 +151,53 @@ def pack_sequences(
     return df.withColumn("pack_offset", start).withColumn(
         "pack_id", F.floor(start / F.lit(max_tokens)).cast("long")
     )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    min_entropy: float = 3.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The composed corpus-curation pipeline every training-data run
+    executes before tokenization, as ONE declarative plan:
+
+        quality stats -> filter -> PII scrub -> exact dedup -> survivors
+
+    Output: one row per KEPT representative document —
+    (id, n_copies, n_tokens, char_entropy, clean_md5) where clean_md5
+    fingerprints the scrubbed text and n_copies counts the exact-dup
+    group it represents (min-id representative).
+
+    100 TB shape: the stats/filter/scrub stages are all per-row JVM
+    projections (zero shuffle — the quality filter prunes BEFORE the
+    expensive stages, and Catalyst pushes the n_tokens filter into the
+    same projection pass); the only wide dependency is the final dedup
+    groupBy on the 32-byte md5 digest. Each piece is individually
+    oracle-verified (token_count / char_entropy / pii_scrub /
+    dedup_exact); this composition is itself hash-checked end-to-end
+    as the curate_corpus driver query."""
+    from cordon_spark.functions.text import char_entropy_cols, token_count_cols
+
+    d = token_count_cols(docs, text_col)
+    d = char_entropy_cols(d, text_col)
+    kept = d.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("char_entropy") >= min_entropy)
+    )
+    scrubbed = pii_scrub(kept, text_col)
+    # min-id representative per scrubbed digest; the representative's
+    # own stats ride along via the struct-min (ordered by id first)
+    rep = F.min(F.struct(id_col, "n_tokens", "char_entropy")).alias("rep")
+    return (
+        scrubbed.groupBy(F.md5(F.col("clean_text")).alias("clean_md5"))
+        .agg(rep, F.count(F.lit(1)).alias("n_copies"))
+        .select(
+            F.col(f"rep.{id_col}").alias(id_col),
+            "n_copies",
+            F.col("rep.n_tokens").alias("n_tokens"),
+            F.col("rep.char_entropy").alias("char_entropy"),
+            "clean_md5",
+        )
+    )

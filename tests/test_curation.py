@@ -151,3 +151,30 @@ def test_pii_scrub_idempotent(spark, pii_df):
     assert {(r.doc_id, r.text) for r in once.collect()} == {
         (r.doc_id, r.clean_text) for r in rows
     }
+
+
+def test_curate_corpus_composition(spark):
+    """quality filter -> scrub -> exact dedup as one plan: short and
+    low-entropy docs drop, exact dups collapse to the min-id rep with
+    the rep's own stats, survivors pass through."""
+    from cordon_spark.operators.curation import curate_corpus
+
+    long_text = "the quick brown fox jumps over the lazy dog again " * 3
+    df = spark.createDataFrame(
+        [
+            (0, long_text),
+            (7, long_text),                      # exact dup of 0
+            (2, "short text"),                   # < min_tokens
+            (3, "aa " * 40),                     # long but low entropy
+            (4, long_text + "unique tail here"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in curate_corpus(
+        df, min_tokens=10, min_entropy=3.0).collect()}
+    assert set(rows) == {0, 4}
+    assert rows[0].n_copies == 2          # 0 and 7 collapsed, min id kept
+    assert rows[4].n_copies == 1
+    assert rows[0].n_tokens == 30
+    assert rows[0].clean_md5 != rows[4].clean_md5
