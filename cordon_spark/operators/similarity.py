@@ -536,3 +536,147 @@ def dequantize_embeddings(
         out_col,
         F.transform(F.col(q_col), lambda q: q.cast("double") * F.col(scale_col)),
     )
+
+
+# ------------------------------------------------------------------ #
+# IVF index persistence: build once, query many (the index lifecycle
+# a 100 TB embedding corpus actually needs — refitting k-means per
+# query batch would re-scan the corpus every time).
+# ------------------------------------------------------------------ #
+def ivf_build_index(
+    candidates: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> dict:
+    """Fit the coarse quantizer and persist the index:
+
+      <path>/meta.json       centroids + shape (tiny, driver-side)
+      <path>/lists/          (nid, nv) parquet PARTITIONED BY cluster
+
+    Partitioning the inverted lists by cluster id is the load-bearing
+    choice: a query probing n_probe clusters reads ONLY those
+    directories (static partition pruning), i.e. n_probe/n_clusters of
+    the corpus — the on-disk analog of the in-memory inverted-list
+    scan. Vectors are stored as given (callers pass L2-normalized
+    vectors, same contract as ivf_ann). Returns the meta dict."""
+    import json
+    from pathlib import Path
+
+    from pyspark import StorageLevel
+
+    cands = candidates.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    owns_cache = not candidates.is_cached
+    if owns_cache:
+        cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        centroids = kmeans_fit(
+            cands, k=n_clusters, iters=iters, id_col="nid", vec_col="nv",
+            persist=False,
+        )
+        if centroids.shape[0] == 0:
+            raise ValueError("cannot build an IVF index over an empty corpus")
+        cen_arrs = [
+            F.array(*[F.lit(float(x)) for x in centroids[c]])
+            for c in range(centroids.shape[0])
+        ]
+        dots_expr = F.array(*[_dot(F.col("nv"), a) for a in cen_arrs])
+        assigned = (
+            cands.withColumn("_d", F.explode(F.array(dots_expr)))
+            .withColumn("cluster", F.expr("array_position(_d, array_max(_d)) - 1"))
+            .drop("_d")
+        )
+        assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+            f"{path}/lists"
+        )
+        n_vectors = cands.count()
+    finally:
+        if owns_cache:
+            cands.unpersist(blocking=False)
+    meta = {
+        "centroids": centroids.tolist(),
+        "n_clusters": int(centroids.shape[0]),
+        "dim": int(centroids.shape[1]),
+        "n_vectors": int(n_vectors),
+    }
+    Path(path).mkdir(parents=True, exist_ok=True)
+    Path(f"{path}/meta.json").write_text(json.dumps(meta))
+    return meta
+
+
+def ivf_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-k over a persisted IVF index. The union of all probed
+    cluster ids is collected first (O(n_probe * |Q|) SMALL values) and
+    pushed as a STATIC isin filter, so the parquet scan touches only
+    the probed list partitions — `PartitionFilters` in the plan, not a
+    full-corpus scan; the per-query probe assignment then joins by
+    broadcast exactly like ivf_ann."""
+    import json
+    from pathlib import Path
+
+    meta = json.loads(Path(f"{path}/meta.json").read_text())
+    centroids = np.asarray(meta["centroids"], dtype=np.float64)
+    n_probe = max(1, min(n_probe, centroids.shape[0]))
+    cen_arrs = [
+        F.array(*[F.lit(float(x)) for x in centroids[c]])
+        for c in range(centroids.shape[0])
+    ]
+    qdots_expr = F.array(*[_dot(F.col("qv"), a) for a in cen_arrs])
+    qb = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .withColumn("_d", F.explode(F.array(qdots_expr)))
+        .withColumn(
+            "cluster",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.array_sort(
+                            F.array(
+                                *[
+                                    F.struct(
+                                        (-F.col("_d")[c]).alias("nd"),
+                                        F.lit(c).cast("long").alias("c"),
+                                    )
+                                    for c in range(centroids.shape[0])
+                                ]
+                            )
+                        ),
+                        1,
+                        n_probe,
+                    ),
+                    lambda s: s["c"],
+                )
+            ),
+        )
+        .drop("_d")
+    )
+    probed = sorted(
+        r["cluster"] for r in qb.select("cluster").distinct().collect()
+    )
+    lists = spark.read.parquet(f"{path}/lists").filter(
+        F.col("cluster").isin(probed)
+    )
+    dist = F.greatest(
+        F.lit(0.0), F.least(F.lit(2.0), 1.0 - _dot(F.col("qv"), F.col("nv")))
+    )
+    pairs = lists.join(F.broadcast(qb), on="cluster")
+    if exclude_self:
+        pairs = pairs.filter(F.col("qid") != F.col("nid"))
+    pairs = pairs.select("qid", "nid", dist.alias("dist")).distinct()
+    w = W.partitionBy("qid").orderBy(F.col("dist"), F.col("nid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "nid", "dist")
+    )

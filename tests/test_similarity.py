@@ -209,3 +209,37 @@ def test_kmeans_fit_tree_reduce_bit_reproducible(spark):
     c1 = S.kmeans_fit(wide, k=6, iters=3)
     c2 = S.kmeans_fit(wide, k=6, iters=3)
     assert np.array_equal(c1, c2)
+
+
+def test_ivf_index_build_query_matches_inline(spark, tmp_path):
+    """Persisted IVF index (build once / query many): querying the
+    on-disk index returns EXACTLY what the inline ivf_ann computes
+    (same deterministic fit, same probe policy), and the scan prunes
+    to the probed cluster partitions."""
+    from pyspark.sql import functions as F
+
+    df, _ = _vec_df(spark, n=200, dim=8, seed=13)
+    queries = df.filter(F.col("vec_id") < 10)
+    inline = {
+        (r.qid, r.rank): (r.nid, round(r.dist, 9))
+        for r in S.ivf_ann(queries, df, k=3, n_clusters=8, n_probe=2).collect()
+    }
+    path = str(tmp_path / "ivf_index")
+    meta = S.ivf_build_index(df, path, n_clusters=8)
+    assert meta["n_clusters"] == 8 and meta["n_vectors"] == 200
+    out = S.ivf_query_index(spark, path, queries, k=3, n_probe=2)
+    got = {
+        (r.qid, r.rank): (r.nid, round(r.dist, 9)) for r in out.collect()
+    }
+    assert got == inline
+    # partition pruning: the parquet scan must carry a cluster filter
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+
+
+def test_ivf_index_empty_corpus_refuses(spark, tmp_path):
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "vec_id long, v array<double>")
+    with _pytest.raises(ValueError, match="empty corpus"):
+        S.ivf_build_index(empty, str(tmp_path / "x"))
