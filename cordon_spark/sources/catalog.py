@@ -111,6 +111,57 @@ class SnapshotCatalog:
         shutil.rmtree(self._data_dir(table, snapshot_id), ignore_errors=True)
         self._manifest_path(table, snapshot_id).unlink(missing_ok=True)
 
+    # ---- maintenance -------------------------------------------------
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        snapshot_id: str | None = None,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        new_snapshot_id: str | None = None,
+    ) -> dict:
+        """Small-files compaction: rewrite a snapshot's data files into
+        ~target-size files as a NEW immutable snapshot (Iceberg's
+        rewrite_data_files semantics — history is preserved, readers of
+        the old snapshot are untouched, the current pointer flips
+        atomically only after the rewrite commits).
+
+        The 100 TB why: every streaming micro-batch / incremental run
+        appends small files; scans then pay per-file open cost and the
+        driver pays per-file planning. Compaction restores the
+        ~128 MB-file layout scans are sized for. The rewrite itself is
+        one coalesce (narrow — no shuffle: target counts only ever
+        MERGE files), sized from the snapshot's actual on-disk bytes.
+        Returns the new manifest with lineage back to the source
+        snapshot."""
+        sid = snapshot_id or self.current_snapshot(table)
+        if sid is None:
+            raise FileNotFoundError(f"no committed snapshot for table {table}")
+        src_dir = self._data_dir(table, sid)
+        total_bytes = sum(
+            p.stat().st_size for p in src_dir.rglob("*.parquet")
+        )
+        n_files = max(1, -(-total_bytes // target_file_bytes))  # ceil
+        new_sid = new_snapshot_id or f"{sid}-compacted"
+        df = spark.read.parquet(str(src_dir)).coalesce(int(n_files))
+        manifest = self.write_snapshot(
+            df,
+            table,
+            new_sid,
+            lineage={
+                "op": "compact",
+                "source_snapshot": sid,
+                "source_bytes": int(total_bytes),
+                "target_file_bytes": int(target_file_bytes),
+            },
+        )
+        src_rows = self.manifest(table, sid)["rows"]
+        if manifest["rows"] != src_rows:  # pragma: no cover - invariant
+            raise RuntimeError(
+                f"compaction row mismatch: {manifest['rows']} != {src_rows}"
+            )
+        return manifest
+
 
 def make_catalog(root: str | Path, spark: SparkSession | None = None):
     """Factory: Iceberg when a runtime catalog is configured, else the

@@ -124,3 +124,37 @@ def test_mid_write_kill_recovers(spark, tiny_transcripts, tmp_path):
     assert cat.has_snapshot("scored_windows", sid)
     # downstream stages HAD committed manifests, so they resume
     assert res2.metrics["blocks"].get("resumed") == 1.0
+
+
+def test_compact_snapshot(spark, tmp_path):
+    """Compaction rewrites a many-small-files snapshot into few files
+    as a NEW snapshot: rows identical, old snapshot still readable
+    (time travel preserved), current pointer flips to the compacted
+    one, lineage records the source."""
+    from cordon_spark.sources.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(tmp_path / "wh")
+    df = spark.range(0, 10_000).withColumnRenamed("id", "v").repartition(40)
+    cat.write_snapshot(df, "t", "s1")
+    src_files = list((tmp_path / "wh/t/data/snapshot=s1").rglob("*.parquet"))
+    assert len(src_files) >= 40
+
+    m = cat.compact(spark, "t", target_file_bytes=1 << 30)
+    assert m["snapshot_id"] == "s1-compacted"
+    assert m["rows"] == 10_000
+    assert m["lineage"]["op"] == "compact" and m["lineage"]["source_snapshot"] == "s1"
+    new_files = list(
+        (tmp_path / "wh/t/data/snapshot=s1-compacted").rglob("*.parquet")
+    )
+    assert len(new_files) == 1  # 40 tiny files -> one ~target file
+    # identical content, both snapshots readable
+    assert cat.read(spark, "t").count() == 10_000
+    assert sorted(r.v for r in cat.read(spark, "t", "s1").collect()) == sorted(
+        r.v for r in cat.read(spark, "t", "s1-compacted").collect()
+    )
+    assert cat.current_snapshot("t") == "s1-compacted"
+    # compacting a missing table refuses
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        cat.compact(spark, "nope")
