@@ -1589,6 +1589,113 @@ FROM dd
 )
 
 
+# ------------------------------------------------------------------ #
+# Star-schema analytics over the TPC-H-ish tables: the general-purpose
+# OLAP tier (pricing summary scan-agg; selective 3-table join).
+# Decimal sums -> scaled longs, the repo's cross-engine convention.
+# ------------------------------------------------------------------ #
+def _lineitem(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def q_tpch_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: pricing summary report — one scan, one
+    map-side-combined hash agg, filter pushed to parquet. The classic
+    'is your scan-agg path right' probe."""
+    ship_package(spark)
+    l = _lineitem(spark, sf_dir).filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    # operands cast at their REAL scale (2 dp in this data): every
+    # product then fits decimal(38,6) EXACTLY — no rounding, no
+    # precision-loss divergence between engines anywhere
+    px = F.col("l_extendedprice").cast("decimal(18,2)")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(2,0)")
+    disc_price = px * (one - F.col("l_discount").cast("decimal(8,2)"))
+    charge = disc_price * (one + F.col("l_tax").cast("decimal(8,2)"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            r4l_dec(F.sum(qty), "sum_qty_e4"),
+            r4l_dec(F.sum(px), "sum_base_e4"),
+            r4l_dec(F.sum(disc_price), "sum_disc_e4"),
+            r4l_dec(F.sum(charge), "sum_charge_e4"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_PRICING_SUMMARY = """
+WITH l AS (SELECT l_returnflag, l_linestatus,
+                  l_quantity::DECIMAL(18,2) AS qty,
+                  l_extendedprice::DECIMAL(18,2) AS px,
+                  l_extendedprice::DECIMAL(18,2)
+                    * (1::DECIMAL(2,0) - l_discount::DECIMAL(8,2)) AS disc_price,
+                  l_extendedprice::DECIMAL(18,2)
+                    * (1::DECIMAL(2,0) - l_discount::DECIMAL(8,2))
+                    * (1::DECIMAL(2,0) + l_tax::DECIMAL(8,2)) AS charge
+           FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02')
+SELECT l_returnflag, l_linestatus,
+       floor(sum(qty)::DECIMAL(20,6)*10000::DECIMAL(10,0) + 0.5::DECIMAL(2,1))::BIGINT AS sum_qty_e4,
+       floor(sum(px)::DECIMAL(20,6)*10000::DECIMAL(10,0) + 0.5::DECIMAL(2,1))::BIGINT AS sum_base_e4,
+       floor(sum(disc_price)::DECIMAL(20,6)*10000::DECIMAL(10,0) + 0.5::DECIMAL(2,1))::BIGINT AS sum_disc_e4,
+       floor(sum(charge)::DECIMAL(20,6)*10000::DECIMAL(10,0) + 0.5::DECIMAL(2,1))::BIGINT AS sum_charge_e4,
+       count(*) AS count_order
+FROM l GROUP BY 1, 2
+"""
+
+
+def q_tpch_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective customer-segment join — broadcast the
+    filtered dimension, shuffle the facts once, top-10 revenue orders.
+    The 'is your join path right' probe (dim filter -> broadcast,
+    pushdown on both date predicates)."""
+    ship_package(spark)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _lineitem(spark, sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(2,0)") - F.col("l_discount").cast("decimal(8,2)")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    agg = joined.groupBy(
+        "l_orderkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderpriority",
+    ).agg(r4l_dec(F.sum(revenue), "revenue_e4"))
+    return (
+        agg.orderBy(F.col("revenue_e4").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TPCH_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate::DATE AS o_orderdate, o_orderpriority,
+       floor(sum(l_extendedprice::DECIMAL(18,2)
+                  * (1::DECIMAL(2,0) - l_discount::DECIMAL(8,2)))::DECIMAL(20,6)
+             *10000::DECIMAL(10,0) + 0.5::DECIMAL(2,1))::BIGINT AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY 1, 2, 3
+ORDER BY revenue_e4 DESC, l_orderkey
+LIMIT 10
+"""
+
+
 QUERIES = {
     "window_segment": q_window_segment,
     "knn_score": q_knn_score,
@@ -1636,6 +1743,8 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "char_entropy": q_char_entropy,
     "curate_corpus": q_curate_corpus,
+    "tpch_pricing_summary": q_tpch_pricing_summary,
+    "tpch_shipping_priority": q_tpch_shipping_priority,
 }
 
 ORACLE_SQL = {
@@ -1691,4 +1800,6 @@ ORACLE_SQL = {
     "bm25_search": SQL_BM25_SEARCH,
     "char_entropy": SQL_CHAR_ENTROPY,
     "curate_corpus": SQL_CURATE_CORPUS,
+    "tpch_pricing_summary": SQL_TPCH_PRICING_SUMMARY,
+    "tpch_shipping_priority": SQL_TPCH_SHIPPING_PRIORITY,
 }

@@ -110,3 +110,15 @@ def test_char_entropy_shuffle_free(spark):
     df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     c = _counts(char_entropy_cols(df).select("doc_id", "char_entropy"))
     assert c["shuffles"] == 0, c["plan"]
+
+
+def test_tpch_q3_broadcast_dim_and_pushdown(spark):
+    """Shipping-priority join: the filtered customer dimension
+    broadcasts; the date predicates reach the parquet scans."""
+    from cordon_spark import entry_queries as Q
+
+    df = Q.QUERIES["tpch_shipping_priority"](spark, SF_DIR)
+    c = _counts(df)
+    assert c["broadcasts"] >= 1, c["plan"]
+    assert "PushedFilters" in c["plan"]
+    assert "l_shipdate" in c["plan"] and "o_orderdate" in c["plan"]
