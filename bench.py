@@ -146,6 +146,9 @@ def main() -> None:
         "ann_topk",
         "token_count",
         "enrich_events",
+        "tfidf_terms",
+        "curate_corpus",
+        "tpch_pricing_summary",
     ):
         timings[name] = min(
             _timed(lambda: Q.QUERIES[name](spark, sf_dir).collect())
