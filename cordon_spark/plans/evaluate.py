@@ -272,7 +272,12 @@ def evaluate_runs(
             tmp.write_text(json.dumps(res, indent=1))
             tmp.replace(run_file)  # atomic: a mid-write kill leaves no run_file
         results.append(res)
-    return aggregate_results(results)
+    agg = aggregate_results(results)
+    if out_dir is not None:
+        # the cross-run analysis layer (plans/analysis_graphs, reference
+        # generate_analysis_graphs.py) reads this file per config dir
+        (out_dir / "aggregated_results.json").write_text(json.dumps(agg, indent=1))
+    return agg
 
 
 def load_dataset_config(dataset_id: str, manifest_path: str) -> dict:
