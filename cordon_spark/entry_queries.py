@@ -1696,6 +1696,34 @@ LIMIT 10
 """
 
 
+def q_conversation_stats(spark, sf_dir):
+    """Per-conversation shape statistics over the transcripts table —
+    the first profiling pass any log/transcript pipeline runs (one
+    map-side-combined hash agg on the conversation key; all-integer
+    outputs)."""
+    ship_package(spark)
+    t = derived_transcripts(spark, sf_dir)
+    chars = F.length(F.coalesce(F.col("text"), F.lit("")))
+    return t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(chars).cast("long").alias("n_chars_total"),
+        F.max(chars).cast("long").alias("max_turn_chars"),
+        F.min("turn_idx").cast("long").alias("first_turn"),
+        F.max("turn_idx").cast("long").alias("last_turn"),
+    )
+
+
+SQL_CONVERSATION_STATS = f"""
+WITH t AS ({TRANSCRIPTS_SQL})
+SELECT conv_id, count(*) AS n_turns,
+       sum(length(coalesce(text, '')))::BIGINT AS n_chars_total,
+       max(length(coalesce(text, '')))::BIGINT AS max_turn_chars,
+       min(turn_idx)::BIGINT AS first_turn,
+       max(turn_idx)::BIGINT AS last_turn
+FROM t GROUP BY conv_id
+"""
+
+
 QUERIES = {
     "window_segment": q_window_segment,
     "knn_score": q_knn_score,
@@ -1745,6 +1773,7 @@ QUERIES = {
     "curate_corpus": q_curate_corpus,
     "tpch_pricing_summary": q_tpch_pricing_summary,
     "tpch_shipping_priority": q_tpch_shipping_priority,
+    "conversation_stats": q_conversation_stats,
 }
 
 ORACLE_SQL = {
@@ -1802,4 +1831,5 @@ ORACLE_SQL = {
     "curate_corpus": SQL_CURATE_CORPUS,
     "tpch_pricing_summary": SQL_TPCH_PRICING_SUMMARY,
     "tpch_shipping_priority": SQL_TPCH_SHIPPING_PRIORITY,
+    "conversation_stats": SQL_CONVERSATION_STATS,
 }

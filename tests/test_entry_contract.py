@@ -16,7 +16,10 @@ sys.path.insert(0, str(ROOT))
 import __spark_entry__ as E  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
-TABLES = ["events", "documents", "embeddings"]
+TABLES = [
+    "events", "documents", "embeddings",
+    "lineitem", "orders", "customer",  # star-schema queries
+]
 
 # The ivf_ann oracle bakes the deterministic k-means centroids of the
 # sf0.01 dataset as SQL literals (the scale the external driver's gate
