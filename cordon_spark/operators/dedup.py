@@ -429,6 +429,7 @@ def dedup_clusters(
             )
             stepped = labels.join(neighbor_min, on="node", how="left").select(
                 "node",
+                F.col("lab").alias("_old"),  # rides along for convergence
                 F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
             )
             # path halving: lab <- min(lab, lab[lab]) — doubles the
@@ -441,15 +442,16 @@ def dedup_clusters(
                 .select(
                     "node",
                     F.least(F.col("lab"), F.coalesce("_hl", F.col("lab"))).alias("lab"),
+                    "_old",
                 )
             )
+            # convergence probe is a SCAN of the just-checkpointed
+            # partitions — the previous round's label rides along in
+            # _old, so no join (and no shuffle job) per round
             changed = (
-                new_labels.join(labels.withColumnRenamed("lab", "old"), on="node")
-                .filter(F.col("lab") != F.col("old"))
-                .limit(1)
-                .count()
+                new_labels.filter(F.col("lab") != F.col("_old")).limit(1).count()
             )
-            labels = new_labels
+            labels = new_labels.select("node", "lab")
             if changed == 0:
                 if stats is not None:  # rounds-to-convergence, for benches
                     stats["rounds"] = _round + 1
