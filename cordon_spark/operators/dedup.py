@@ -480,3 +480,49 @@ def apply_dedup(
     shuffles on the id like any equi-join."""
     drop = clusters.filter(F.col(id_col) != F.col("cluster_rep")).select(id_col)
     return docs.join(drop, on=id_col, how="left_anti")
+
+
+def minhash_lsh_pairs_collapsed(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Hot-bucket defusal for EXACT duplicates, the one skew LSH cannot
+    salt away: m byte-identical documents share every band signature,
+    so plain minhash_lsh_pairs materializes their complete graph —
+    m(m-1)/2 candidate pairs in ONE bucket (a 1M-copy boilerplate doc
+    at corpus scale is ~5*10^11 pairs, i.e. job death). Collapse by
+    content digest first: LSH runs over one representative per distinct
+    text, and exact-dup members attach to their representative with
+    (rep, member, jaccard=1.0) STAR edges — the connected components
+    (and therefore dedup_clusters / apply_dedup output) are IDENTICAL,
+    with O(m) edges instead of O(m^2). Null-text docs are left out of
+    the collapse (they produce no shingles, hence no pairs, either
+    way).
+
+    Use this as the 100 TB entry point; the uncollapsed operator stays
+    the semantics oracle (its pair set is what the DuckDB oracle
+    reproduces, and the equivalence of the two paths' CLUSTERS is
+    asserted in tests)."""
+    keyed = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("_dig")
+    )
+    reps = keyed.groupBy("_dig").agg(F.min(id_col).alias("_rep"))
+    with_rep = keyed.join(reps, on="_dig")
+    # star edges: rep -> every other member (rep = min id, so a < b)
+    star = (
+        with_rep.filter(F.col(id_col) != F.col("_rep"))
+        .select(
+            F.col("_rep").alias("doc_a"),
+            F.col(id_col).alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    uniq_docs = with_rep.filter(F.col(id_col) == F.col("_rep")).select(
+        F.col(id_col), F.col(text_col)
+    )
+    pairs = minhash_lsh_pairs(
+        uniq_docs, id_col=id_col, text_col=text_col, **lsh_kwargs
+    )
+    return pairs.unionByName(star)

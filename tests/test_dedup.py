@@ -261,3 +261,38 @@ def test_dedup_clusters_reliable_checkpoint(spark, tmp_path):
         for r in dedup_clusters(pairs, reliable_checkpoint=True).collect()
     }
     assert got == {3: 3, 5: 3, 7: 3, 9: 3, 20: 20, 21: 20}
+
+
+def test_minhash_collapsed_defuses_exact_dup_hot_bucket(spark):
+    """50 identical docs: plain LSH emits their complete graph (1225
+    pairs in one bucket — the O(m^2) skew LSH cannot salt away);
+    the collapsed path emits 49 star edges and IDENTICAL connected
+    components / kept corpus."""
+    from cordon_spark.operators.dedup import (
+        apply_dedup,
+        dedup_clusters,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_collapsed,
+    )
+
+    boiler = "connection reset by peer retrying with exponential backoff now"
+    rows = [(i, boiler) for i in range(50)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")]
+    rows += [(101, "alpha beta gamma delta epsilon zeta eta theta iota mu")]
+    rows += [(200, "totally unrelated content about completely different things"),
+             (201, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    plain = minhash_lsh_pairs(docs).persist()
+    collapsed = minhash_lsh_pairs_collapsed(docs).persist()
+    n_plain, n_collapsed = plain.count(), collapsed.count()
+    assert n_plain >= 50 * 49 / 2          # the hot-bucket blowup
+    assert n_collapsed == 49 + (n_plain - 50 * 49 / 2)  # star + near-dup pairs
+
+    c_plain = {(r.doc_id, r.cluster_rep) for r in dedup_clusters(plain).collect()}
+    c_coll = {(r.doc_id, r.cluster_rep) for r in dedup_clusters(collapsed).collect()}
+    assert c_plain == c_coll               # identical components
+    k_plain = sorted(r.doc_id for r in apply_dedup(docs, dedup_clusters(plain)).collect())
+    k_coll = sorted(r.doc_id for r in apply_dedup(docs, dedup_clusters(collapsed)).collect())
+    assert k_plain == k_coll               # identical kept corpus
+    plain.unpersist(); collapsed.unpersist()
