@@ -156,6 +156,31 @@ def write_fixture(path: str, scale: str = "tiny", seed: int = 42) -> pd.DataFram
     return pdf
 
 
+def write_labeled_fixture(path: str, scale: str = "tiny", seed: int = 42) -> pd.DataFrame:
+    """write_fixture + the evaluation ground-truth columns the
+    benchmark harness requires (is_anomaly from the generator's truth
+    spans; template_id from the turn's leading token — the same
+    labeling the eval tests use). This is what the shipped
+    benchmark/datasets.yaml's toy dataset generates."""
+    params = {
+        "tiny": dict(n_convs=5, mean_turns=30, with_edge_cases=False),
+        "small": dict(n_convs=80, mean_turns=200, with_edge_cases=False),
+    }[scale]
+    pdf, truth = generate_transcripts(seed=seed, **params)
+    spans = {
+        (conv, t)
+        for conv, rngs in truth.anomalies.items()
+        for lo, hi in rngs
+        for t in range(lo, hi + 1)
+    }
+    pdf["is_anomaly"] = [
+        (c, t) in spans for c, t in zip(pdf["conv_id"], pdf["turn_idx"])
+    ]
+    pdf["template_id"] = pdf["text"].fillna("").str.split().str[0].fillna("")
+    write_parquet(pdf, path)
+    return pdf
+
+
 def generate_transcripts_fast(
     n_turns: int,
     seed: int = 42,
@@ -211,9 +236,14 @@ def write_parquet(pdf: pd.DataFrame, path: str, row_group_size: int | None = Non
     row-group boundaries, so a big fixture written as pyarrow's default
     1M-row groups caps the scan+map side at file_rows/1M tasks (measured:
     a 2M-row bench table ran its whole map side on 2 cores)."""
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    parent = os.path.dirname(os.path.abspath(path))
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     table = pa.Table.from_pandas(pdf, preserve_index=False)
     kwargs = {"coerce_timestamps": "us", "allow_truncated_timestamps": True}
     if row_group_size:

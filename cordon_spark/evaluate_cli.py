@@ -76,9 +76,15 @@ def main(argv: list[str] | None = None) -> int:
         except (OSError, ValueError) as exc:
             print(f"error: {exc}", file=sys.stderr)
             return 2
-        path = ds["log_file"]
         from pathlib import Path as _P
 
+        # reference manifest shape: log_file is relative to extract_to
+        # (evaluate.py:909-911); absolute/bare log_file also accepted
+        path = (
+            str(_P(ds["extract_to"]) / ds["log_file"])
+            if "extract_to" in ds
+            else ds["log_file"]
+        )
         if not _P(path).exists():
             # reference evaluate.py:914-917 hint, pointing at the
             # download manager

@@ -103,7 +103,12 @@ def main(argv: list[str] | None = None) -> int:
         except (OSError, ValueError) as exc:
             print(f"error: {exc}", file=sys.stderr)
             return 2
-        path = ds["log_file"]
+        # reference manifest shape: log_file is relative to extract_to
+        path = (
+            str(Path(ds["extract_to"]) / ds["log_file"])
+            if "extract_to" in ds
+            else ds["log_file"]
+        )
         if not Path(path).exists():
             # reference visualize.py:543-545 / evaluate.py:914-917 hint
             print(f"ERROR: Dataset not found at {path}")

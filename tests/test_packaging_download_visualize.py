@@ -277,3 +277,37 @@ def test_console_scripts_install(tmp_path):
                            capture_output=True, text=True)
         assert h.returncode == 0, h.stderr[-500:]
         assert frag in h.stdout
+
+
+def test_manifest_extract_to_join_and_labeled_fixture(spark, tmp_path, capsys):
+    """The reference manifest shape (log_file RELATIVE to extract_to)
+    resolves through the eval CLI, and write_labeled_fixture produces a
+    table the harness accepts — the shipped benchmark/datasets.yaml
+    toy path, end-to-end."""
+    import json
+
+    from cordon_spark.datagen import write_labeled_fixture
+    from cordon_spark.evaluate_cli import main
+
+    data_dir = tmp_path / "data"
+    pdf = write_labeled_fixture(str(data_dir / "toy.parquet"))
+    assert {"is_anomaly", "template_id"} <= set(pdf.columns)
+    assert pdf["is_anomaly"].sum() > 0
+    manifest = tmp_path / "datasets.yaml"
+    manifest.write_text(
+        "datasets:\n  toy:\n    name: Toy\n"
+        f"    extract_to: {data_dir}\n    log_file: toy.parquet\n"
+    )
+    rc = main(["toy", "--manifest", str(manifest), "--runs", "1",
+               "--sample-size", "full", "--rare-threshold", "10"])
+    assert rc == 0
+    agg = json.loads(capsys.readouterr().out)
+    assert agg["num_runs"] == 1
+    # missing file under extract_to -> the full joined path in the hint
+    manifest.write_text(
+        "datasets:\n  toy:\n    name: Toy\n"
+        f"    extract_to: {data_dir}\n    log_file: absent.parquet\n"
+    )
+    assert main(["toy", "--manifest", str(manifest)]) == 1
+    out = capsys.readouterr().out
+    assert f"{data_dir}/absent.parquet" in out
