@@ -810,10 +810,16 @@ def q_sessionize(spark, sf_dir):
     from cordon_spark.operators.events import sessionize
 
     out = sessionize(_events(spark, sf_dir))
+    # Global ORDER BY (mirrored in SQL_SESSIONIZE): every column is an
+    # integer and the rows/schema/value dumps have been byte-identical
+    # across engines for two rounds (artifacts/sessionize.*.txt), so the
+    # one remaining engine-dependent degree of freedom is ROW ORDER —
+    # pinned here on both engines in case the driver hash is
+    # order-sensitive.
     return out.select(
         "user_id", "session_id", "n_events", "start_us", "end_us",
         r4l_dec(F.col("value_sum"), "value_sum_e4"),
-    )
+    ).orderBy("user_id", "session_id")
 
 
 SQL_SESSIONIZE = """
@@ -825,6 +831,7 @@ s AS (SELECT *, sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE
 SELECT user_id, session_id, count(*) AS n_events, min(us) AS start_us, max(us) AS end_us,
        floor(sum(value::DECIMAL(20,6))::DECIMAL(20,6)*10000::DECIMAL(10,0) + 0.5::DECIMAL(2,1))::BIGINT AS value_sum_e4
 FROM s GROUP BY user_id, session_id
+ORDER BY user_id, session_id
 """
 
 

@@ -16,6 +16,20 @@ broadcast, not driver-side constants smuggled into the plan, so the
 whole thing is a single declarative plan Catalyst can prune. No Python
 anywhere.
 
+Document frequency is deliberately NOT a count window over the tf
+frame (`F.count(1).over(Window.partitionBy("term"))`): a window has no
+partial aggregation, so every row of a term must co-reside in one
+task, and term frequency is Zipfian — at 10^9 docs a stopword's
+whole-partition window is a ~10^9-row straggler/OOM task. Instead the
+tf frame is persisted ONCE (so the corpus aggregation is computed
+once, not re-planned per consumer) and df is derived from it with a
+hash aggregation — map-side partials collapse each upstream partition
+to one row per term before the exchange, which makes hash aggregation
+skew-safe where the window is not — then joined back (broadcast by
+default; the df frame is O(vocabulary) rows of (term, count); pass
+broadcast_df=False for vocabularies too big to broadcast, where the
+shuffle join is AQE-skew-split eligible).
+
 Tokenization is the shared whitespace family (dedup.tokens_col ==
 kernel.tokenize == the SQL regexp_split_to_array mirror), so oracles
 reproduce token-for-token.
@@ -36,31 +50,43 @@ def _doc_terms(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _attach_df(tf: DataFrame, broadcast_df: bool = True) -> DataFrame:
+    """Attach per-term document frequency to a one-row-per-(doc, term)
+    tf frame the skew-safe way (see module docstring): persist tf so
+    the corpus aggregation behind it is computed exactly once, derive
+    df from it with a map-side-combined hash aggregation, join back.
+    The persist is MEMORY_AND_DISK (Spark's DataFrame default) — the
+    tf frame is the DEDUPED (doc, term) set, orders of magnitude
+    smaller than the token stream it aggregates."""
+    tf = tf.persist()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if broadcast_df:
+        dfreq = F.broadcast(dfreq)
+    return tf.join(dfreq, on="term")
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_df: bool = True,
 ) -> DataFrame:
     """Top-k terms per document by smoothed TF-IDF
     (idf = ln((N+1)/(df+1)) + 1, the sklearn smooth_idf convention):
     output (id, rank, term, tfidf), deterministic tie-break by term.
 
-    Plan: ONE corpus pass — the (doc, term) tf hash agg — then df is a
-    COUNT WINDOW over the tf output partitioned by term (tf rows are
-    already one-per-(doc,term), so the window count IS the document
-    frequency). A join of tf against a separate df aggregate spells
-    the same thing but Spark plans the (doc,term) agg subtree TWICE
-    (no exchange reuse across the self-join — measured on the executed
-    plan), i.e. two full corpus aggregations at 100 TB; the window
-    form re-shuffles only the tiny deduped tf frame. N joins in as a
-    broadcast 1-row aggregate (count-only parquet scan); the top-k
-    window partitions by doc over the few distinct terms per doc."""
+    Plan: ONE corpus pass — the (doc, term) tf hash agg, persisted —
+    then df is a skew-safe hash aggregation over the persisted tf
+    joined back by broadcast (_attach_df; never a whole-partition
+    window on the Zipfian term key). N joins in as a broadcast 1-row
+    aggregate (count-only parquet scan); the top-k window partitions
+    by doc over the few distinct terms per doc."""
     terms = _doc_terms(docs, id_col, text_col)
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term")))
+        _attach_df(tf, broadcast_df)
         .join(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
@@ -100,11 +126,12 @@ def bm25_search(
     whitespace token count against the corpus mean. The query-term
     filter is an isin over a literal list — it prunes the exploded
     terms BEFORE the tf aggregation, so the shuffle carries only
-    matching occurrences; df is then a count window over the (tiny)
-    tf output, not a second corpus aggregation (same reasoning as
-    tfidf_top_terms). Corpus passes: the pruned term explode, plus the
-    dl projection (text column only — column pruning reaches the
-    scan)."""
+    matching occurrences; df is then a skew-safe hash aggregation over
+    the (tiny, query-term-bounded) persisted tf frame joined back by
+    broadcast (_attach_df — same spelling as tfidf_top_terms), not a
+    second corpus aggregation and not a whole-partition window.
+    Corpus passes: the pruned term explode, plus the dl projection
+    (text column only — column pruning reaches the scan)."""
     terms = _doc_terms(docs, id_col, text_col)
     dl = docs.select(
         F.col(id_col), F.size(tokens_col(text_col)).cast("double").alias("dl")
@@ -116,7 +143,7 @@ def bm25_search(
     qt = terms.filter(F.col("term").isin(list(query_terms)))
     tf = qt.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     # document frequency of each query term = docs with tf >= 1
-    tf = tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term")))
+    tf = _attach_df(tf)
     idf = F.log(
         1.0
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)

@@ -84,23 +84,45 @@ def test_knn_score_zero_shuffle(spark):
     assert c["shuffles"] == 0, c["plan"]
 
 
-def test_tfidf_single_corpus_aggregation(spark):
-    """TF-IDF: the corpus-side (doc, term) aggregation must appear
-    EXACTLY once in the plan — df is a count window over the tf
-    output, NOT a join against a second corpus agg (the join spelling
-    plans the big agg subtree twice; measured, no exchange reuse)."""
+def test_tfidf_single_corpus_aggregation_skew_safe_df(spark):
+    """TF-IDF: the corpus-side (doc, term) aggregation must be
+    COMPUTED exactly once (persisted tf — both consumers read the
+    same InMemoryRelation, i.e. one distinct plan_id for the
+    doc_id+term exchange even though the cached-plan repr prints
+    twice), and document frequency must be a skew-safe partial-agg
+    hash aggregation joined back by broadcast — NEVER a
+    whole-partition window on the Zipfian term key (a window has no
+    map-side combine: a stopword's posting list lands in one task at
+    scale)."""
+    import re
+
     from cordon_spark import entry_queries as Q
 
-    c = _counts(Q.QUERIES["tfidf_terms"](spark, SF_DIR))
-    big_aggs = [
-        ln
-        for ln in c["plan"].splitlines()
-        if "Exchange hashpartitioning(" in ln
-        and "doc_id" in ln
-        and "term" in ln
-    ]
-    assert len(big_aggs) == 1, c["plan"]
-    assert c["broadcasts"] >= 1, c["plan"]  # the 1-row n_docs agg
+    df = Q.QUERIES["tfidf_terms"](spark, SF_DIR)
+    df.count()  # materialize so the cache + final AQE plan are real
+    c = _counts(df)
+    plan = c["plan"]
+    # no window partitioned by term anywhere in the plan
+    assert "windowspecdefinition(term" not in plan, plan
+    # tf is persisted and read back by both consumers
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    # the (doc, term) corpus exchange is ONE physical subtree: every
+    # EXECUTED occurrence (under a ShuffleQueryStage; the AQE repr's
+    # "Initial Plan" echo is pre-execution text) carries the same
+    # plan_id
+    ids = set(
+        re.findall(
+            r"ShuffleQueryStage \d+\s*\n\s*\+- Exchange "
+            r"hashpartitioning\(doc_id#\d+L?, term#\d+,"
+            r" \d+\), ENSURE_REQUIREMENTS, \[plan_id=(\d+)\]",
+            plan,
+        )
+    )
+    assert len(ids) == 1, (ids, plan)
+    # df derived with a map-side-combined hash agg, broadcast back;
+    # plus the 1-row n_docs broadcast
+    assert re.search(r"HashAggregate\(keys=\[term#\d+\]", plan), plan
+    assert c["broadcasts"] >= 2, plan
 
 
 def test_char_entropy_shuffle_free(spark):
