@@ -6,7 +6,7 @@ help:
 	@echo "  make install-dev   Install with dev extras"
 	@echo "  make test          Run the test suite"
 	@echo "  make bench         Run the headline benchmark (one JSON line)"
-	@echo "  make verify        Driver-contract correctness gate (48 queries vs DuckDB)"
+	@echo "  make verify        Driver-contract correctness gate (all oracle queries vs DuckDB)"
 	@echo "  make clean         Remove caches and build artifacts"
 
 install:

@@ -15,7 +15,7 @@ download/extract path with a mocked session.
 
 from __future__ import annotations
 
-import io
+import tempfile
 import zipfile
 from pathlib import Path
 
@@ -79,22 +79,25 @@ def download_dataset(
 
     total_size = int(response.headers.get("content-length", 0))
     downloaded = 0
-    chunks = []
-    for chunk in response.iter_content(chunk_size=8192):
-        if chunk:
-            chunks.append(chunk)
-            downloaded += len(chunk)
-            if total_size > 0:
-                pct = (downloaded / total_size) * 100
-                print(
-                    f"\r  Downloaded: {downloaded / 1024 / 1024:.1f} MB ({pct:.1f}%)",
-                    end="",
-                )
-    print()
+    # stream to a spooled temp file (spills to disk past 32 MB) so a
+    # multi-GB archive never has to fit in RAM
+    with tempfile.SpooledTemporaryFile(max_size=32 * 1024 * 1024) as buf:
+        for chunk in response.iter_content(chunk_size=8192):
+            if chunk:
+                buf.write(chunk)
+                downloaded += len(chunk)
+                if total_size > 0:
+                    pct = (downloaded / total_size) * 100
+                    print(
+                        f"\r  Downloaded: {downloaded / 1024 / 1024:.1f} MB ({pct:.1f}%)",
+                        end="",
+                    )
+        print()
 
-    print(f"Extracting to {extract_path}...")
-    with zipfile.ZipFile(io.BytesIO(b"".join(chunks))) as z:
-        z.extractall(extract_path)
+        print(f"Extracting to {extract_path}...")
+        buf.seek(0)
+        with zipfile.ZipFile(buf) as z:
+            z.extractall(extract_path)
 
     print(f"Dataset '{dataset['name']}' ready at {extract_path}")
     return extract_path

@@ -497,15 +497,21 @@ def minhash_lsh_pairs_collapsed(
     text, and exact-dup members attach to their representative with
     (rep, member, jaccard=1.0) STAR edges — the connected components
     (and therefore dedup_clusters / apply_dedup output) are IDENTICAL,
-    with O(m) edges instead of O(m^2). Null-text docs are left out of
-    the collapse (they produce no shingles, hence no pairs, either
-    way).
+    with O(m) edges instead of O(m^2). Docs that produce NO shingles
+    (null, empty, or whitespace-only text — shingles_col's
+    size(tokens)==0 guard) are left out of the collapse entirely: the
+    uncollapsed path emits no pairs for them, so star-edging
+    byte-identical empty docs would add edges the oracle path does not
+    have (the guard here is size(tokens_col)==0, the SAME predicate
+    shingles_col uses, so the two paths agree doc-for-doc).
 
     Use this as the 100 TB entry point; the uncollapsed operator stays
     the semantics oracle (its pair set is what the DuckDB oracle
     reproduces, and the equivalence of the two paths' CLUSTERS is
     asserted in tests)."""
-    keyed = docs.filter(F.col(text_col).isNotNull()).select(
+    keyed = docs.filter(
+        F.col(text_col).isNotNull() & (F.size(tokens_col(text_col)) > 0)
+    ).select(
         F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("_dig")
     )
     reps = keyed.groupBy("_dig").agg(F.min(id_col).alias("_rep"))

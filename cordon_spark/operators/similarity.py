@@ -543,6 +543,42 @@ def dequantize_embeddings(
 # a 100 TB embedding corpus actually needs — refitting k-means per
 # query batch would re-scan the corpus every time).
 # ------------------------------------------------------------------ #
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for any Hadoop-supported URI scheme."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _fs_write_text(spark, path: str, text: str) -> None:
+    """Small driver-side text write through the Hadoop FS API — works
+    for hdfs://, s3a://, and plain local paths alike (the index data
+    files go through DataFrame.write, which already does)."""
+    fs, jpath = _hadoop_fs(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark, path: str) -> str:
+    fs, jpath = _hadoop_fs(spark, path)
+    stream = fs.open(jpath)
+    try:
+        reader = spark._jvm.java.io.BufferedReader(
+            spark._jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        lines = []
+        line = reader.readLine()
+        while line is not None:
+            lines.append(line)
+            line = reader.readLine()
+        return "\n".join(lines)
+    finally:
+        stream.close()
+
+
 def ivf_build_index(
     candidates: DataFrame,
     path: str,
@@ -563,7 +599,6 @@ def ivf_build_index(
     scan. Vectors are stored as given (callers pass L2-normalized
     vectors, same contract as ivf_ann). Returns the meta dict."""
     import json
-    from pathlib import Path
 
     from pyspark import StorageLevel
 
@@ -601,8 +636,12 @@ def ivf_build_index(
         "dim": int(centroids.shape[1]),
         "n_vectors": int(n_vectors),
     }
-    Path(path).mkdir(parents=True, exist_ok=True)
-    Path(f"{path}/meta.json").write_text(json.dumps(meta))
+    # meta.json goes through the Hadoop FileSystem API so BOTH halves
+    # of the index accept the same URIs (hdfs://, s3a://, file:/...)
+    # — pathlib here would silently write driver-local for remote paths
+    _fs_write_text(
+        candidates.sparkSession, f"{path}/meta.json", json.dumps(meta)
+    )
     return meta
 
 
@@ -623,9 +662,8 @@ def ivf_query_index(
     full-corpus scan; the per-query probe assignment then joins by
     broadcast exactly like ivf_ann."""
     import json
-    from pathlib import Path
 
-    meta = json.loads(Path(f"{path}/meta.json").read_text())
+    meta = json.loads(_fs_read_text(spark, f"{path}/meta.json"))
     centroids = np.asarray(meta["centroids"], dtype=np.float64)
     n_probe = max(1, min(n_probe, centroids.shape[0]))
     cen_arrs = [

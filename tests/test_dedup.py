@@ -281,6 +281,11 @@ def test_minhash_collapsed_defuses_exact_dup_hot_bucket(spark):
     rows += [(101, "alpha beta gamma delta epsilon zeta eta theta iota mu")]
     rows += [(200, "totally unrelated content about completely different things"),
              (201, None)]
+    # byte-identical EMPTY / whitespace-only dups: zero shingles, so the
+    # oracle (uncollapsed) path emits no pairs — the collapse must not
+    # star-edge them either (they share an md5 digest but fail the
+    # size(tokens)==0 shingle guard)
+    rows += [(300, ""), (301, ""), (302, " \t  "), (303, " \t  ")]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
 
     plain = minhash_lsh_pairs(docs).persist()
