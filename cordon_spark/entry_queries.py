@@ -1703,6 +1703,81 @@ LIMIT 10
 """
 
 
+def q_tpch_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: the deep-join probe — six tables, a two-hop
+    broadcast dimension chain (region -> nation -> supplier), and the
+    three big tables joined with exactly the shuffles their keys
+    force. Join order is chosen for scale, not left to literal SQL
+    order:
+
+      orders(date-filtered) JOIN customer   shuffle on custkey
+        JOIN lineitem                       shuffle on orderkey
+        JOIN broadcast(supplier+nation)     zero-shuffle, carries BOTH
+                                            l_suppkey = s_suppkey AND
+                                            c_nationkey = s_nationkey
+        GROUP BY n_name                     25-row agg, map-side
+                                            combined
+
+    Region/nation always broadcast; supplier (SF*10k rows, region-
+    filtered to ~1/5 of that) broadcasts far past the scale where
+    customer (15x bigger) stops fitting — so customer takes the
+    shuffle-join path and the supplier chain rides the broadcast. The
+    date filter reaches the orders parquet scan (plan-shape-tested
+    with the broadcasts)."""
+    ship_package(spark)
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _lineitem(spark, sf_dir)
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(2,0)") - F.col("l_discount").cast("decimal(8,2)")
+    )
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(r4l_dec(F.sum(revenue), "revenue_e4"))
+        .orderBy(F.col("revenue_e4").desc(), F.col("n_name"))
+    )
+
+
+SQL_TPCH_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       floor(sum(l_extendedprice::DECIMAL(18,2)
+                  * (1::DECIMAL(2,0) - l_discount::DECIMAL(8,2)))::DECIMAL(20,6)
+             *10000::DECIMAL(10,0) + 0.5::DECIMAL(2,1))::BIGINT AS revenue_e4
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue_e4 DESC, n_name
+"""
+
+
 def q_conversation_stats(spark, sf_dir):
     """Per-conversation shape statistics over the transcripts table —
     the first profiling pass any log/transcript pipeline runs (one
@@ -1780,6 +1855,7 @@ QUERIES = {
     "curate_corpus": q_curate_corpus,
     "tpch_pricing_summary": q_tpch_pricing_summary,
     "tpch_shipping_priority": q_tpch_shipping_priority,
+    "tpch_local_supplier_volume": q_tpch_local_supplier_volume,
     "conversation_stats": q_conversation_stats,
 }
 
@@ -1838,5 +1914,6 @@ ORACLE_SQL = {
     "curate_corpus": SQL_CURATE_CORPUS,
     "tpch_pricing_summary": SQL_TPCH_PRICING_SUMMARY,
     "tpch_shipping_priority": SQL_TPCH_SHIPPING_PRIORITY,
+    "tpch_local_supplier_volume": SQL_TPCH_LOCAL_SUPPLIER_VOLUME,
     "conversation_stats": SQL_CONVERSATION_STATS,
 }

@@ -134,6 +134,24 @@ def test_char_entropy_shuffle_free(spark):
     assert c["shuffles"] == 0, c["plan"]
 
 
+def test_tpch_q5_broadcast_chain_and_fact_shuffles(spark):
+    """Local-supplier-volume (Q5 shape): the region->nation->supplier
+    dimension chain must ride broadcasts (3 BroadcastExchanges: region
+    into nation, nation into supplier, supplier chain into the fact
+    stream) and the three big tables must join with only their two
+    unavoidable exchanges (custkey, orderkey) plus the final 25-row
+    n_name agg — no extra shuffle, and the order-date filter reaches
+    the orders parquet scan."""
+    from cordon_spark import entry_queries as Q
+
+    c = _counts(Q.QUERIES["tpch_local_supplier_volume"](spark, SF_DIR))
+    assert c["broadcasts"] >= 3, c["plan"]
+    # custkey + orderkey joins, n_name agg, final orderBy range
+    # exchange — anything beyond that is a plan regression
+    assert c["shuffles"] <= 4, c["plan"]
+    assert "PushedFilters" in c["plan"] and "o_orderdate" in c["plan"]
+
+
 def test_tpch_q3_broadcast_dim_and_pushdown(spark):
     """Shipping-priority join: the filtered customer dimension
     broadcasts; the date predicates reach the parquet scans."""
