@@ -149,6 +149,7 @@ def main() -> None:
         "tfidf_terms",
         "curate_corpus",
         "tpch_pricing_summary",
+        "tpch_local_supplier_volume",
     ):
         timings[name] = min(
             _timed(lambda: Q.QUERIES[name](spark, sf_dir).collect())

@@ -1455,6 +1455,56 @@ FROM c
 """
 
 
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_split_dataset(spark, sf_dir):
+    """Deterministic train/val/test split by cumulative md5-uniform
+    intervals — membership is a pure function of doc_id, so adding
+    documents later never reassigns existing ones (df.randomSplit
+    cannot promise that). Zero-shuffle projection."""
+    ship_package(spark)
+    out = C.split_dataset(_docs(spark, sf_dir), SPLIT_WEIGHTS)
+    return out.select("doc_id", "lang", "split")
+
+
+SQL_SPLIT_DATASET = """
+WITH u AS (SELECT doc_id, lang,
+                  ('0x' || substr(md5(doc_id::VARCHAR || '|split'), 1, 8))::UBIGINT::DOUBLE
+                    / 4294967295.0 AS u
+           FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN u < 0.8 THEN 'train'
+            WHEN u < 0.9 THEN 'val'
+            WHEN u < 1.0 THEN 'test' END AS split
+FROM u
+"""
+
+
+def q_token_budget_sample(spark, sf_dir):
+    """Token-budget sampling: ~2000 tokens of each language, documents
+    ranked by a deterministic md5 priority, kept only while they fit
+    entirely. One window cumsum per language shard."""
+    ship_package(spark)
+    from cordon_spark.functions.text import token_count_cols
+
+    docs = token_count_cols(_docs(spark, sf_dir))
+    out = C.token_budget_sample(docs, budget=2000, group_col="lang")
+    return out.select("doc_id", "lang", "n_tokens")
+
+
+SQL_TOKEN_BUDGET_SAMPLE = f"""
+WITH {_TOKS_SQL.strip()},
+n AS (SELECT d.doc_id, d.lang, len(tk.toks)::BIGINT AS n_tokens,
+             ('0x' || substr(md5(d.doc_id::VARCHAR || '|budget'), 1, 8))::UBIGINT::DOUBLE
+               / 4294967295.0 AS u
+      FROM documents d JOIN tk USING (doc_id)),
+c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY u, doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM n)
+SELECT doc_id, lang, n_tokens FROM c WHERE cum <= 2000
+"""
+
+
 # ------------------------------------------------------------------ #
 # Lexical ranking / retrieval (operators/ranking.py) + entropy filter
 # ------------------------------------------------------------------ #
@@ -1778,6 +1828,60 @@ ORDER BY revenue_e4 DESC, n_name
 """
 
 
+def q_tpch_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: the aggregate-subquery probe — qualify orders
+    by a HAVING over a full lineitem aggregation, then hang the
+    dimension data off the tiny qualifying set with broadcasts.
+
+    Plan: ONE lineitem corpus aggregation (map-side-combined decimal
+    sum per orderkey) -> HAVING filter leaves a tiny qualifying set ->
+    broadcast it into the orders scan (orders never shuffles) -> the
+    joined result (|qualifying| rows) broadcasts into the customer
+    scan (customer never shuffles). Zero fact-table exchanges beyond
+    the one aggregation; the already-computed per-order quantity sum
+    rides along instead of being re-aggregated. All money/quantity
+    math exact decimal."""
+    ship_package(spark)
+    li = _lineitem(spark, sf_dir)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    qualifying = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("decimal(20,6)")
+            .alias("sum_qty")
+        )
+        .filter(F.col("sum_qty") > F.lit(300).cast("decimal(12,2)"))
+    )
+    joined = orders.join(
+        F.broadcast(qualifying), orders.o_orderkey == qualifying.l_orderkey
+    )
+    out = cust.join(F.broadcast(joined), cust.c_custkey == joined.o_custkey)
+    return out.select(
+        "c_name",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        r4l_dec(F.col("o_totalprice").cast("decimal(18,2)"), "totalprice_e4"),
+        r4l_dec(F.col("sum_qty"), "sum_qty_e4"),
+    )
+
+
+SQL_TPCH_LARGE_ORDERS = """
+WITH q AS (SELECT l_orderkey,
+                  sum(l_quantity::DECIMAL(12,2))::DECIMAL(20,6) AS sum_qty
+           FROM lineitem GROUP BY 1
+           HAVING sum(l_quantity::DECIMAL(12,2))::DECIMAL(20,6) > 300::DECIMAL(12,2))
+SELECT c_name, o_orderkey, o_orderdate::DATE AS o_orderdate,
+       floor(o_totalprice::DECIMAL(18,2)::DECIMAL(20,6)*10000::DECIMAL(10,0)
+             + 0.5::DECIMAL(2,1))::BIGINT AS totalprice_e4,
+       floor(sum_qty*10000::DECIMAL(10,0) + 0.5::DECIMAL(2,1))::BIGINT AS sum_qty_e4
+FROM q
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
 def q_conversation_stats(spark, sf_dir):
     """Per-conversation shape statistics over the transcripts table —
     the first profiling pass any log/transcript pipeline runs (one
@@ -1856,6 +1960,9 @@ QUERIES = {
     "tpch_pricing_summary": q_tpch_pricing_summary,
     "tpch_shipping_priority": q_tpch_shipping_priority,
     "tpch_local_supplier_volume": q_tpch_local_supplier_volume,
+    "tpch_large_orders": q_tpch_large_orders,
+    "split_dataset": q_split_dataset,
+    "token_budget_sample": q_token_budget_sample,
     "conversation_stats": q_conversation_stats,
 }
 
@@ -1915,5 +2022,8 @@ ORACLE_SQL = {
     "tpch_pricing_summary": SQL_TPCH_PRICING_SUMMARY,
     "tpch_shipping_priority": SQL_TPCH_SHIPPING_PRIORITY,
     "tpch_local_supplier_volume": SQL_TPCH_LOCAL_SUPPLIER_VOLUME,
+    "tpch_large_orders": SQL_TPCH_LARGE_ORDERS,
+    "split_dataset": SQL_SPLIT_DATASET,
+    "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "conversation_stats": SQL_CONVERSATION_STATS,
 }

@@ -153,6 +153,72 @@ def pack_sequences(
     )
 
 
+def split_dataset(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's uniform
+    md5(key|salt)/2^32 lands in one of the cumulative-weight intervals
+    (insertion order of `weights`; they must sum to <= 1.0, any
+    remainder becomes NULL — make them sum to 1 for a total split).
+
+    Membership depends only on the row key — reproducible across runs,
+    partitionings, engines, and incremental re-executions, and adding
+    documents later never reassigns existing ones (the property a
+    training pipeline needs: df.randomSplit is seeded per-partition
+    and reshuffles membership whenever partitioning changes). Pure
+    projection: zero shuffle, survives pushdown."""
+    total = sum(weights.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split weights sum to {total} > 1")
+    u = _hash_unit(F.col(key_col), salt)
+    expr = None
+    hi = 0.0
+    for name, wgt in weights.items():
+        hi += wgt
+        cond = u < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    return df.withColumn(out_col, expr)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "lang",
+    token_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    salt: str = "budget",
+) -> DataFrame:
+    """Deterministic token-budget sampling: within each `group_col`
+    shard, documents are ranked by a uniform md5(key|salt) priority
+    (an unbiased shuffle both engines reproduce) and kept while the
+    running token total stays within `budget` — 'give me ~N tokens of
+    each language', the mixing primitive of corpus construction. A
+    document is kept only if it FITS entirely (cumsum <= budget), so
+    the sample never overshoots; the first over-budget doc and
+    everything after it drop.
+
+    100 TB shape: one window cumsum per shard key, exactly like
+    pack_sequences — the shard column bounds each window's sort; no
+    global sort anywhere. For shards far larger than the budget, a
+    pre-filter on priority (keep u < k*budget/shard_tokens) bounds the
+    window input first; that estimate pass is deliberately not built
+    in — compose it when shard stats are known."""
+    u = _hash_unit(F.col(key_col), salt)
+    w = W.partitionBy(group_col).orderBy("_u", key_col)
+    return (
+        df.withColumn("_u", u)
+        .withColumn("_cum", F.sum(token_col).over(w))
+        .filter(F.col("_cum") <= budget)
+        .drop("_u", "_cum")
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     min_tokens: int = 10,

@@ -141,6 +141,73 @@ def test_pack_sequences_invariants(spark):
     ]
 
 
+def test_split_dataset_deterministic_partition_and_growth_stable(spark):
+    rows = [(i,) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s1 = {r.doc_id: r.split for r in C.split_dataset(df, w).collect()}
+    s2 = {
+        r.doc_id: r.split
+        for r in C.split_dataset(df.repartition(17), w).collect()
+    }
+    assert s1 == s2  # partition-invariant
+    # growing the corpus never reassigns existing rows
+    bigger = spark.createDataFrame([(i,) for i in range(6000)], "doc_id long")
+    s3 = {r.doc_id: r.split for r in C.split_dataset(bigger, w).collect()}
+    assert all(s3[d] == s for d, s in s1.items())
+    # proportions roughly honored, all rows assigned
+    counts = {}
+    for s in s1.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert None not in counts
+    assert abs(counts["train"] / 3000 - 0.8) < 0.03
+    assert abs(counts["val"] / 3000 - 0.1) < 0.03
+    assert abs(counts["test"] / 3000 - 0.1) < 0.03
+    # weights must not exceed 1
+    import pytest
+
+    with pytest.raises(ValueError):
+        C.split_dataset(df, {"a": 0.8, "b": 0.3})
+
+
+def test_token_budget_sample_fits_and_deterministic(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de", 50 + (i * 31) % 100)
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    out = C.token_budget_sample(df, budget=1000, group_col="lang").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, kept in by_lang.items():
+        total = sum(r.n_tokens for r in kept)
+        assert total <= 1000  # never overshoots
+    # exact python oracle: same md5 priority, same greedy prefix rule
+    import hashlib
+
+    def u(doc_id):
+        h = hashlib.md5(f"{doc_id}|budget".encode()).hexdigest()
+        return int(h[:8], 16) / 0xFFFFFFFF
+
+    expected = set()
+    for lang in ("en", "de"):
+        cum = 0
+        for i, l, n in sorted(
+            (r for r in rows if r[1] == lang), key=lambda r: (u(r[0]), r[0])
+        ):
+            cum += n
+            if cum <= 1000:
+                expected.add(i)
+            else:
+                break
+    assert {r.doc_id for r in out} == expected
+    assert expected  # fixture sanity: something was kept
+    # partition-invariant
+    out2 = C.token_budget_sample(
+        df.repartition(7), budget=1000, group_col="lang"
+    ).collect()
+    assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in out2)
+
+
 def test_pii_scrub_idempotent(spark, pii_df):
     """Scrubbing already-scrubbed text changes nothing: the redaction
     tokens contain no digits or @, so no pattern can re-fire."""

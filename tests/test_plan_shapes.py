@@ -152,6 +152,34 @@ def test_tpch_q5_broadcast_chain_and_fact_shuffles(spark):
     assert "PushedFilters" in c["plan"] and "o_orderdate" in c["plan"]
 
 
+def test_tpch_q18_single_fact_agg_no_fact_shuffle_joins(spark):
+    """Large-orders (Q18 shape): ONE lineitem aggregation exchange is
+    the only fact shuffle — the qualifying set and its orders join
+    ride broadcasts into the orders/customer scans (2 broadcast
+    joins), so neither big table ever shuffles."""
+    from cordon_spark import entry_queries as Q
+
+    c = _counts(Q.QUERIES["tpch_large_orders"](spark, SF_DIR))
+    assert c["broadcasts"] >= 2, c["plan"]
+    assert c["shuffles"] <= 1, c["plan"]  # the l_orderkey agg only
+
+
+def test_split_dataset_shuffle_free(spark):
+    """Hash-split is a pure projection: zero exchanges."""
+    from cordon_spark import entry_queries as Q
+
+    c = _counts(Q.QUERIES["split_dataset"](spark, SF_DIR))
+    assert c["shuffles"] == 0, c["plan"]
+
+
+def test_token_budget_sample_single_shuffle(spark):
+    """One keyed window cumsum per shard: exactly one exchange."""
+    from cordon_spark import entry_queries as Q
+
+    c = _counts(Q.QUERIES["token_budget_sample"](spark, SF_DIR))
+    assert c["shuffles"] == 1, c["plan"]
+
+
 def test_tpch_q3_broadcast_dim_and_pushdown(spark):
     """Shipping-priority join: the filtered customer dimension
     broadcasts; the date predicates reach the parquet scans."""
