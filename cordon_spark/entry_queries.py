@@ -648,6 +648,71 @@ SELECT qid, rank, nid, floor(dist*10000 + 0.5)/10000 AS dist FROM r WHERE rank <
 """
 
 
+def _pq_books():
+    import numpy as np
+
+    from cordon_spark.pq_codebooks_sf001 import PQ_CODEBOOKS_SF001
+
+    return np.asarray(
+        [[row[:-1] for row in sub] for sub in PQ_CODEBOOKS_SF001],
+        dtype=np.float64,
+    )
+
+
+def q_pq_ann(spark, sf_dir):
+    """Product-quantization ANN (asymmetric distance): candidates are
+    encoded to m=8 codes against the BAKED sf0.01 codebooks
+    (scripts/gen_pq_codebooks.py — the build-once/serve-many shape a
+    real PQ index has; a test asserts baked == fresh deterministic
+    fit), decoded + renormalized as zero-shuffle literal projections,
+    then ranked by the same brute top-k as the exact path. The oracle
+    replays encode/decode/rank in SQL from the same baked constants."""
+    ship_package(spark)
+    vecs = _normalized_vectors(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < ANN_NQ)
+    out = S.pq_ann(queries, vecs, _pq_books(), k=ANN_K)
+    return out.select(
+        "qid", F.col("rank").cast("long").alias("rank"), "nid",
+        r4l(F.col("dist"), "dist_e4"),
+    )
+
+
+def _pq_cb_values() -> str:
+    from cordon_spark.pq_codebooks_sf001 import PQ_CODEBOOKS_SF001
+
+    rows = []
+    for j, sub in enumerate(PQ_CODEBOOKS_SF001):
+        for c, row in enumerate(sub):
+            vec = ", ".join(repr(x) for x in row[:-1])
+            rows.append(f"({j}, {c}, [{vec}], {row[-1]!r})")
+    return ",\n  ".join(rows)
+
+
+def _sql_pq_ann() -> str:
+    return f"""
+WITH {NORM_EMB_SQL},
+cb(sub, code, vec, half_cc) AS (VALUES
+  {_pq_cb_values()}),
+sc AS (SELECT n.vec_id, cb.sub, cb.code,
+              list_dot_product(n.v[cb.sub*8+1 : cb.sub*8+8], cb.vec) - cb.half_cc AS score
+       FROM nv n CROSS JOIN cb),
+pick AS (SELECT vec_id, sub, code,
+                row_number() OVER (PARTITION BY vec_id, sub ORDER BY score DESC, code) AS rn
+         FROM sc),
+dec0 AS (SELECT p.vec_id, p.sub, cb.vec
+         FROM pick p JOIN cb ON cb.sub = p.sub AND cb.code = p.code WHERE p.rn = 1),
+dec AS (SELECT vec_id, flatten(list(vec ORDER BY sub)) AS dv FROM dec0 GROUP BY vec_id),
+dn AS (SELECT vec_id, sqrt(list_dot_product(dv, dv)) AS nn, dv FROM dec),
+dvn AS (SELECT vec_id, CASE WHEN nn > 0 THEN list_transform(dv, x -> x / nn) ELSE dv END AS dv FROM dn),
+q AS (SELECT vec_id AS qid, v AS qv FROM nv WHERE vec_id < {ANN_NQ}),
+d AS (SELECT q.qid, c.vec_id AS nid,
+             greatest(0.0, least(2.0, 1.0 - list_dot_product(q.qv, c.dv))) AS dist
+      FROM q JOIN dvn c ON c.vec_id <> q.qid),
+r AS (SELECT qid, nid, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank FROM d)
+SELECT qid, rank, nid, floor(dist*10000 + 0.5)::BIGINT AS dist_e4 FROM r WHERE rank <= {ANN_K}
+"""
+
+
 # ------------------------------------------------------------------ #
 # Text analysis
 # ------------------------------------------------------------------ #
@@ -1941,6 +2006,7 @@ QUERIES = {
     "pipeline_text_blocks": q_pipeline_text_blocks,
     "ann_lsh": q_ann_lsh,
     "ivf_ann": q_ivf_ann,
+    "pq_ann": q_pq_ann,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_simhash": q_dedup_simhash,
     "normalize_text": q_normalize_text,
@@ -2003,6 +2069,7 @@ ORACLE_SQL = {
     # bit-deterministic, so its centroids enter the oracle as literals
     # and everything downstream of the fit is hash-checked too.
     "ivf_ann": SQL_IVF_ANN.replace("{cen_values}", _ivf_cen_values()),
+    "pq_ann": _sql_pq_ann(),
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_apply": SQL_DEDUP_APPLY,
     "normalize_text": SQL_NORMALIZE_TEXT,

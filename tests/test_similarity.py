@@ -243,3 +243,103 @@ def test_ivf_index_empty_corpus_refuses(spark, tmp_path):
     empty = spark.createDataFrame([], "vec_id long, v array<double>")
     with _pytest.raises(ValueError, match="empty corpus"):
         S.ivf_build_index(empty, str(tmp_path / "x"))
+
+
+def test_pq_fit_encode_decode_roundtrip(spark):
+    """Codebook shapes, deterministic encode, and reconstruction error:
+    decoded vectors must beat a random-codeword baseline by a wide
+    margin (the codebooks actually learned the subspace structure)."""
+    df, mat = _vec_df(spark, n=120, dim=16)
+    books = S.pq_fit(df, m=4, n_codes=8, iters=3)
+    assert books.shape == (4, 8, 4)
+    enc1 = {r.vec_id: list(r.codes) for r in S.pq_encode(df, books).collect()}
+    enc2 = {
+        r.vec_id: list(r.codes)
+        for r in S.pq_encode(df.repartition(7), books).collect()
+    }
+    assert enc1 == enc2  # encode is a pure projection of the row
+    assert all(0 <= c < 8 for codes in enc1.values() for c in codes)
+    dec = {
+        r.vec_id: np.array(r.v)
+        for r in S.pq_encode(df, books)
+        .select("vec_id", S.pq_decode_col(S.F.col("codes"), books).alias("v"))
+        .collect()
+    }
+    err = np.mean([np.sum((dec[i] - mat[i]) ** 2) for i in range(120)])
+    rng = np.random.RandomState(1)
+    rand_err = np.mean(
+        [
+            np.sum(
+                (
+                    np.concatenate(
+                        [books[j, rng.randint(8)] for j in range(4)]
+                    )
+                    - mat[i]
+                )
+                ** 2
+            )
+            for i in range(120)
+        ]
+    )
+    assert err < 0.5 * rand_err
+    # python-side encode parity: same argmin rule, same codes
+    for i in range(0, 120, 17):
+        for j in range(4):
+            sub = mat[i, j * 4 : (j + 1) * 4]
+            scores = books[j] @ sub - 0.5 * np.sum(books[j] ** 2, axis=1)
+            assert enc1[i][j] == int(np.argmax(scores))
+
+
+def test_pq_ann_recall_vs_brute(spark):
+    """Asymmetric-distance PQ ANN: recall@5 vs brute force must clear
+    0.6 at (m=4, n_codes=16) on LOW-INTRINSIC-DIMENSION 16-dim vectors
+    (rank-4 latent + noise — the regime embeddings actually live in;
+    this fixture is also the one that exposed the renormalization bug:
+    raw decoded-dot ranking scored 0.18 here)."""
+    rng = np.random.RandomState(3)
+    lat = rng.randn(150, 4) @ rng.randn(4, 16)
+    mat = kernel.l2_normalize(lat + 0.05 * rng.randn(150, 16))
+    pdf = pd.DataFrame(
+        {"vec_id": range(150), "v": [list(r) for r in mat]}
+    )
+    df = spark.createDataFrame(pdf)
+    queries = df.filter("vec_id < 10")
+    exact = S.brute_force_topk(queries, df, k=5).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.qid, set()).add(r.nid)
+
+    def recall(n_codes):
+        books = S.pq_fit(df, m=4, n_codes=n_codes, iters=3)
+        got = S.pq_ann(queries, df, books, k=5).collect()
+        sets = {}
+        for r in got:
+            sets.setdefault(r.qid, set()).add(r.nid)
+        hits = sum(len(sets[q] & exact_sets[q]) for q in exact_sets)
+        return hits / sum(len(s) for s in exact_sets.values())
+
+    r16 = recall(16)
+    assert r16 >= 0.6, r16
+    # ranks are dense 1..k and deterministic
+    books = S.pq_fit(df, m=4, n_codes=16, iters=3)
+    rows = S.pq_ann(queries, df, books, k=5).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+
+
+def test_baked_pq_codebooks_match_fresh_fit(spark):
+    """Same drift guard as the IVF bake: a fresh deterministic pq_fit
+    on sf0.01 must reproduce cordon_spark/pq_codebooks_sf001.py (and
+    its baked half_cc constants) bit-for-bit."""
+    from cordon_spark.entry_queries import _normalized_vectors, _pq_books
+    from cordon_spark.pq_codebooks_sf001 import PQ_CODEBOOKS_SF001
+
+    vecs = _normalized_vectors(spark, "/root/testdata/sf0.01")
+    books = S.pq_fit(vecs, m=8, n_codes=16, iters=3)
+    assert np.array_equal(books, _pq_books())
+    for j in range(8):
+        for c in range(16):
+            cc = 0.5 * float(np.dot(books[j, c], books[j, c]))
+            assert cc == PQ_CODEBOOKS_SF001[j][c][-1]
