@@ -164,6 +164,24 @@ def test_tpch_q18_single_fact_agg_no_fact_shuffle_joins(spark):
     assert c["shuffles"] <= 1, c["plan"]  # the l_orderkey agg only
 
 
+def test_pq_encode_shuffle_free_and_pq_ann_single_window_exchange(spark):
+    """PQ: encoding a corpus is a map-only job (zero exchanges — the
+    property that makes 100 TB encode embarrassingly parallel), and
+    the full pq_ann query adds only the broadcast of the query set
+    plus the per-query top-k window exchange."""
+    import numpy as np
+
+    from cordon_spark.entry_queries import _normalized_vectors, _pq_books
+    from cordon_spark.operators.similarity import pq_ann, pq_encode
+
+    vecs = _normalized_vectors(spark, SF_DIR)
+    c = _counts(pq_encode(vecs, _pq_books()))
+    assert c["shuffles"] == 0, c["plan"]
+    c2 = _counts(pq_ann(vecs.filter("vec_id < 5"), vecs, _pq_books(), k=3))
+    assert c2["broadcasts"] >= 1, c2["plan"]
+    assert c2["shuffles"] <= 1, c2["plan"]  # the top-k window only
+
+
 def test_split_dataset_shuffle_free(spark):
     """Hash-split is a pure projection: zero exchanges."""
     from cordon_spark import entry_queries as Q
