@@ -19,6 +19,7 @@ SF_DIR = "/root/testdata/sf0.001"
 TABLES = [
     "events", "documents", "embeddings",
     "lineitem", "orders", "customer",  # star-schema queries
+    "supplier", "nation", "region",  # Q5-shape dimension chain
 ]
 
 # The ivf_ann oracle bakes the deterministic k-means centroids of the
