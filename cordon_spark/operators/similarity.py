@@ -586,6 +586,9 @@ def ivf_build_index(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    pq_m: int | None = None,
+    pq_codes: int = 16,
+    pq_iters: int = 3,
 ) -> dict:
     """Fit the coarse quantizer and persist the index:
 
@@ -597,7 +600,17 @@ def ivf_build_index(
     directories (static partition pruning), i.e. n_probe/n_clusters of
     the corpus — the on-disk analog of the in-memory inverted-list
     scan. Vectors are stored as given (callers pass L2-normalized
-    vectors, same contract as ivf_ann). Returns the meta dict."""
+    vectors, same contract as ivf_ann). Returns the meta dict.
+
+    `pq_m` switches the inverted lists to PRODUCT-QUANTIZED storage
+    (the FAISS IVF-PQ composition): lists carry (nid, codes) —
+    pq_m * 4 bytes per vector instead of dim * 8, the 16-64x
+    compression that lets a billion-vector index live on a few
+    machines — and the per-subspace codebooks ride in meta.json.
+    Queries then decode candidates from the literal codebook tables
+    (zero extra I/O) and rank by renormalized asymmetric cosine; with
+    n_probe = n_clusters an IVF-PQ query equals pq_ann on the same
+    codebooks exactly (asserted in tests)."""
     import json
 
     from pyspark import StorageLevel
@@ -623,6 +636,17 @@ def ivf_build_index(
             .withColumn("cluster", F.expr("array_position(_d, array_max(_d)) - 1"))
             .drop("_d")
         )
+        codebooks = None
+        if pq_m is not None:
+            codebooks = pq_fit(
+                cands, m=pq_m, n_codes=pq_codes, iters=pq_iters,
+                id_col="nid", vec_col="nv",
+            )
+            assigned = assigned.select(
+                "nid",
+                "cluster",
+                pq_encode_col(F.col("nv"), codebooks).alias("codes"),
+            )
         assigned.write.mode("overwrite").partitionBy("cluster").parquet(
             f"{path}/lists"
         )
@@ -636,6 +660,8 @@ def ivf_build_index(
         "dim": int(centroids.shape[1]),
         "n_vectors": int(n_vectors),
     }
+    if codebooks is not None:
+        meta["pq_codebooks"] = codebooks.tolist()
     # meta.json goes through the Hadoop FileSystem API so BOTH halves
     # of the index accept the same URIs (hdfs://, s3a://, file:/...)
     # — pathlib here would silently write driver-local for remote paths
@@ -705,6 +731,18 @@ def ivf_query_index(
     lists = spark.read.parquet(f"{path}/lists").filter(
         F.col("cluster").isin(probed)
     )
+    if "pq_codebooks" in meta:
+        # PQ-compressed lists: (nid, codes) — decode from the literal
+        # codebook tables (zero extra I/O) and renormalize, then rank
+        # with the identical distance as the raw path
+        books = np.asarray(meta["pq_codebooks"], dtype=np.float64)
+        lists = normalize(
+            lists.select(
+                "cluster", "nid",
+                pq_decode_col(F.col("codes"), books).alias("nv"),
+            ),
+            "nv",
+        )
     dist = F.greatest(
         F.lit(0.0), F.least(F.lit(2.0), 1.0 - _dot(F.col("qv"), F.col("nv")))
     )
@@ -787,6 +825,21 @@ def _pq_lit_scores(codebooks: np.ndarray, sub: int, vec_col):
     return F.array(*scores)
 
 
+def pq_encode_col(vec_col, codebooks: np.ndarray):
+    """Column form of pq_encode: the array<int> code vector for
+    `vec_col` — per subspace, the L2-nearest codeword (argmax of the
+    baked score literals; first-max tie-break = lowest code, same
+    convention as the IVF assignment)."""
+    m = codebooks.shape[0]
+    cols = []
+    for j in range(m):
+        s = _pq_lit_scores(codebooks, j, vec_col)
+        cols.append(
+            (F.array_position(s, F.array_max(s)) - 1).cast("int")
+        )
+    return F.array(*cols)
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: np.ndarray,
@@ -794,22 +847,13 @@ def pq_encode(
     vec_col: str = "v",
     out_col: str = "codes",
 ) -> DataFrame:
-    """Encode each vector as `m` small codes (array<int>): per
-    subspace, the L2-nearest codeword (argmax of the baked score
-    literals; first-max tie-break = lowest code, same convention as
-    the IVF assignment). Pure JVM projection — zero shuffle, zero
-    Python — so encoding a 100 TB corpus is a map-only job; the codes
-    column is m*4 bytes vs dim*8, the 16-64x compression that lets a
-    billion-vector index live in memory."""
-    m = codebooks.shape[0]
-    cols = []
-    for j in range(m):
-        s = _pq_lit_scores(codebooks, j, F.col(vec_col))
-        cols.append(
-            (F.array_position(s, F.array_max(s)) - 1).cast("int")
-        )
+    """Encode each vector as `m` small codes (array<int>). Pure JVM
+    projection — zero shuffle, zero Python — so encoding a 100 TB
+    corpus is a map-only job; the codes column is m*4 bytes vs dim*8,
+    the 16-64x compression that lets a billion-vector index live in
+    memory."""
     return df.select(
-        F.col(id_col), F.array(*cols).alias(out_col)
+        F.col(id_col), pq_encode_col(F.col(vec_col), codebooks).alias(out_col)
     )
 
 

@@ -154,7 +154,8 @@ def main() -> None:
     n_small, n_large = exec_cores, exec_cores * 4
 
     lines = [
-        "# BENCH — measured throughput and scaling efficiency",
+        "",
+        f"## Pipeline scaling legs, {time.strftime('%Y-%m-%d %H:%M')}",
         "",
         f"Input: synthetic transcripts, {best_s['turns']:,} turns (identical "
         "table both legs, 64 parquet part files).",
@@ -181,25 +182,16 @@ def main() -> None:
         json.dumps({"small": small, "large": large}),
         "```",
         "",
-        "## Environment caveats (measured)",
-        "",
-        "- This sandbox is a Firecracker microVM with host-level CPU",
-        "  overcommit: guest loadavg ~10 at 0% guest CPU, and 32-vCPU wall",
-        "  times vary up to 3x run-to-run; legs are sized so the host",
-        "  reliably delivers the requested cores, and best-of-N reports",
-        "  capability rather than host noise.",
-        "- One process's threads cap at ~8-14 effective cores here while",
-        "  separate processes reach the whole machine — hence executor",
-        "  PROCESSES (1 vs 4), which is also the north rule's criterion",
-        "  shape (N vs 4N executors).",
-        "- Single-process local[N] numbers (the per-round BENCH_r json)",
-        "  therefore understate multi-executor scaling.",
-        "",
         f"Generated by scripts/scaling_bench.py at "
         f"{time.strftime('%Y-%m-%d %H:%M:%S')}.",
     ]
-    (ROOT / "BENCH.md").write_text("\n".join(lines) + "\n")
-    print("\n".join(lines[:18]))
+    # APPEND a dated section — never rewrite the file head (an earlier
+    # version did, and silently dropped the whole measurement history;
+    # the environment-caveats section at the top of BENCH.md is shared
+    # context for every run and stays put)
+    with open(ROOT / "BENCH.md", "a") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("\n".join(lines[:19]))
 
 
 if __name__ == "__main__":

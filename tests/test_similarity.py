@@ -343,3 +343,43 @@ def test_baked_pq_codebooks_match_fresh_fit(spark):
         for c in range(16):
             cc = 0.5 * float(np.dot(books[j, c], books[j, c]))
             assert cc == PQ_CODEBOOKS_SF001[j][c][-1]
+
+
+def test_ivfpq_index_full_probe_equals_pq_ann(spark, tmp_path):
+    """IVF-PQ composition (FAISS shape): pq_m switches the persisted
+    inverted lists to (nid, codes) storage with codebooks in meta.
+    With n_probe = n_clusters the query must equal pq_ann on the SAME
+    codebooks exactly (probe pruning off -> pure PQ ranking), and a
+    pruned probe keeps a recall floor vs exact."""
+    df, _ = _vec_df(spark, n=150, dim=16, seed=5)
+    path = str(tmp_path / "ivfpq")
+    meta = S.ivf_build_index(df, path, n_clusters=4, iters=3, pq_m=4)
+    assert "pq_codebooks" in meta
+    books = np.asarray(meta["pq_codebooks"])
+    queries = df.filter("vec_id < 8")
+    full = {
+        (r.qid, r.rank, r.nid, round(r.dist, 12))
+        for r in S.ivf_query_index(
+            spark, path, queries, k=5, n_probe=4
+        ).collect()
+    }
+    ref = {
+        (r.qid, r.rank, r.nid, round(r.dist, 12))
+        for r in S.pq_ann(queries, df, books, k=5).collect()
+    }
+    assert full == ref
+    # pruned probing still finds most exact neighbors
+    exact = {
+        (r.qid, r.nid)
+        for r in S.brute_force_topk(queries, df, k=5).collect()
+    }
+    pruned = {
+        (r.qid, r.nid)
+        for r in S.ivf_query_index(
+            spark, path, queries, k=5, n_probe=2
+        ).collect()
+    }
+    assert len(exact & pruned) / len(exact) >= 0.4
+    # compressed storage really is codes, not vectors
+    cols = spark.read.parquet(f"{path}/lists").columns
+    assert "codes" in cols and "nv" not in cols
