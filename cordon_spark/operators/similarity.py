@@ -680,13 +680,26 @@ def ivf_query_index(
     id_col: str = "vec_id",
     vec_col: str = "v",
     exclude_self: bool = True,
+    refine_with: DataFrame | None = None,
+    shortlist: int | None = None,
 ) -> DataFrame:
     """Top-k over a persisted IVF index. The union of all probed
     cluster ids is collected first (O(n_probe * |Q|) SMALL values) and
     pushed as a STATIC isin filter, so the parquet scan touches only
     the probed list partitions — `PartitionFilters` in the plan, not a
     full-corpus scan; the per-query probe assignment then joins by
-    broadcast exactly like ivf_ann."""
+    broadcast exactly like ivf_ann.
+
+    `refine_with` enables the exact RE-RANK serving pattern for PQ
+    indexes (FAISS's refine step): the compressed ranking first takes
+    a per-query SHORTLIST (default 4*k) instead of k, then the
+    shortlist — O(shortlist * |Q|) rows, tiny — broadcasts into a
+    scan of the raw-vector table you pass and final ranks come from
+    exact cosine. The raw corpus is touched only for shortlist
+    members (never shuffled, never fully decoded), which is what
+    makes PQ top-k precise without giving back the compression:
+    quantization error decides the shortlist MEMBERSHIP (wide, so
+    errors wash out) rather than the final order."""
     import json
 
     meta = json.loads(_fs_read_text(spark, f"{path}/meta.json"))
@@ -731,15 +744,23 @@ def ivf_query_index(
     lists = spark.read.parquet(f"{path}/lists").filter(
         F.col("cluster").isin(probed)
     )
-    if "pq_codebooks" in meta:
+    is_pq = "pq_codebooks" in meta
+    if is_pq:
         # PQ-compressed lists: (nid, codes) — decode from the literal
         # codebook tables (zero extra I/O) and renormalize, then rank
-        # with the identical distance as the raw path
+        # with the identical distance as the raw path. The decoded
+        # vector is materialized ONCE per row behind a Generate
+        # barrier: referenced bare, the decode expression would be
+        # re-inlined into the norm, the division, and the per-pair
+        # dot (the CollapseProject duplication catalogued in PLANS.md)
         books = np.asarray(meta["pq_codebooks"], dtype=np.float64)
         lists = normalize(
             lists.select(
-                "cluster", "nid",
-                pq_decode_col(F.col("codes"), books).alias("nv"),
+                "cluster",
+                "nid",
+                F.explode(
+                    F.array(pq_decode_col(F.col("codes"), books))
+                ).alias("nv"),
             ),
             "nv",
         )
@@ -750,9 +771,29 @@ def ivf_query_index(
     if exclude_self:
         pairs = pairs.filter(F.col("qid") != F.col("nid"))
     pairs = pairs.select("qid", "nid", dist.alias("dist")).distinct()
+    k_rank = k if refine_with is None else (shortlist or 4 * k)
     w = W.partitionBy("qid").orderBy(F.col("dist"), F.col("nid"))
-    return (
+    ranked = (
         pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_rank)
+        .select("qid", "rank", "nid", "dist")
+    )
+    if refine_with is None:
+        return ranked
+    # exact re-rank: shortlist + query vectors broadcast INTO the raw
+    # table's scan (the corpus is read pointwise, never shuffled)
+    qv_map = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    )
+    short = ranked.select("qid", "nid").join(F.broadcast(qv_map), on="qid")
+    raw = refine_with.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")
+    )
+    exact_pairs = raw.join(F.broadcast(short), on="nid").select(
+        "qid", "nid", dist.alias("dist")
+    )
+    return (
+        exact_pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "nid", "dist")
     )

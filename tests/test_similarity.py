@@ -383,3 +383,47 @@ def test_ivfpq_index_full_probe_equals_pq_ann(spark, tmp_path):
     # compressed storage really is codes, not vectors
     cols = spark.read.parquet(f"{path}/lists").columns
     assert "codes" in cols and "nv" not in cols
+
+
+def test_ivfpq_refine_rerank_recovers_exact(spark, tmp_path):
+    """The PQ shortlist + exact re-rank serving pattern: with a
+    shortlist covering the whole corpus, refined results EQUAL exact
+    brute force (quantization decides membership only, order comes
+    from raw vectors); with a pruned shortlist, refined recall
+    dominates unrefined PQ recall."""
+    df, _ = _vec_df(spark, n=150, dim=16, seed=6)
+    path = str(tmp_path / "ivfpq_r")
+    S.ivf_build_index(df, path, n_clusters=4, iters=3, pq_m=4)
+    queries = df.filter("vec_id < 8")
+    exact = {
+        (r.qid, r.rank, r.nid)
+        for r in S.brute_force_topk(queries, df, k=5).collect()
+    }
+    full_refined = {
+        (r.qid, r.rank, r.nid)
+        for r in S.ivf_query_index(
+            spark, path, queries, k=5, n_probe=4,
+            refine_with=df, shortlist=150,
+        ).collect()
+    }
+    assert full_refined == exact
+    exact_sets = {}
+    for q, _, n in exact:
+        exact_sets.setdefault(q, set()).add(n)
+
+    def recall(res):
+        sets = {}
+        for r in res:
+            sets.setdefault(r.qid, set()).add(r.nid)
+        return sum(
+            len(sets.get(q, set()) & s) for q, s in exact_sets.items()
+        ) / sum(len(s) for s in exact_sets.values())
+
+    unrefined = S.ivf_query_index(
+        spark, path, queries, k=5, n_probe=4
+    ).collect()
+    refined = S.ivf_query_index(
+        spark, path, queries, k=5, n_probe=4, refine_with=df, shortlist=25
+    ).collect()
+    assert recall(refined) >= recall(unrefined)
+    assert recall(refined) >= 0.8
