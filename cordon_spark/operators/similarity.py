@@ -812,17 +812,36 @@ def pq_fit(
     vec_col: str = "v",
 ) -> np.ndarray:
     """Fit PQ codebooks: split the vector into `m` contiguous
-    subspaces and run the SAME deterministic Lloyd fit as the IVF
-    coarse quantizer (kmeans_fit: md5-seeded init, pid-sorted tree
-    reduce — bit-reproducible for a fixed input partitioning) on each
-    slice. Returns codebooks of shape (m, n_codes, dim/m).
+    subspaces and run a FUSED deterministic L2 Lloyd fit — every
+    iteration is ONE distributed pass that updates all m subspace
+    codebooks at once (per-row work is independent across subspaces),
+    not m sequential fits of iters passes each. That fusion is the
+    difference between iters+1 and m*(iters+1) corpus passes — the
+    sequential spelling measured scaling efficiency 0.36 at 1M vectors
+    because m*iters driver round-trips serialize (BENCH.md). Returns
+    codebooks of shape (m, n_codes, dim/m).
 
-    The input is persisted once for all m fits (each fit is iters+1
-    passes over its 1/m-width slice). At 100 TB, fit on a SAMPLE —
-    codebooks are statistics, not indexes: `vectors.sample(...)` feeds
-    this unchanged and the encode step covers the full corpus."""
+    Determinism discipline matches kmeans_fit: init = the n_codes rows
+    with smallest md5(id) (engine/partitioning-independent; the SAME
+    rows seed every subspace — md5 ignores the slice), partials merge
+    driver-side sorted by (sub, pid) so no shuffle-arrival order ever
+    reaches a float add. Assignment is TRUE L2 (argmax of
+    dot - 0.5||c||^2 — identical ranking rule to pq_encode, so fit
+    and encode can never disagree near boundaries); codewords are
+    plain means (no unit-sphere projection — subspace slices are not
+    unit vectors, reconstruction error is the objective).
+
+    The driver merge sees P*m tiny rows per iteration; at very large
+    P, batch the partials through the same repartition-fanin trick as
+    kmeans_fit (P*m rows of k*dsub doubles is ~MBs even at thousands
+    of partitions, so the direct merge holds far past this sandbox).
+    At 100 TB, fit on a SAMPLE — codebooks are statistics, not
+    indexes: `vectors.sample(...)` feeds this unchanged and the
+    encode step covers the full corpus."""
     from pyspark import StorageLevel
+    from pyspark.sql import types as T
 
+    spark = vectors.sparkSession
     dim = len(vectors.select(vec_col).first()[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
@@ -831,19 +850,92 @@ def pq_fit(
     if owns_cache:
         vectors = vectors.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        books = []
-        for j in range(m):
-            sliced = vectors.select(
-                F.col(id_col),
-                F.slice(F.col(vec_col), j * dsub + 1, dsub).alias("sv"),
-            )
-            books.append(
-                kmeans_fit(
-                    sliced, k=n_codes, iters=iters,
-                    id_col=id_col, vec_col="sv", persist=False,
+        init_pdf = (
+            vectors.select(id_col, vec_col)
+            .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+            .orderBy("_h")
+            .limit(n_codes)
+            .select(id_col, vec_col)
+            .toPandas()
+            .sort_values(id_col)
+        )
+        if len(init_pdf) == 0:
+            raise ValueError("cannot fit PQ codebooks on an empty corpus")
+        seed = np.array(init_pdf[vec_col].tolist(), dtype=np.float64)
+        k = seed.shape[0]  # corpus smaller than n_codes -> fewer codes
+        books = np.stack(
+            [seed[:, j * dsub : (j + 1) * dsub].copy() for j in range(m)]
+        )
+
+        schema = T.StructType(
+            [
+                T.StructField("pid", T.LongType()),
+                T.StructField("sub", T.LongType()),
+                T.StructField("cnt", T.ArrayType(T.LongType())),
+                T.StructField("flat", T.ArrayType(T.DoubleType())),
+            ]
+        )
+
+        for _ in range(iters):
+            bc = spark.sparkContext.broadcast(books)
+
+            def partials(batches):
+                import pandas as pd
+                from pyspark import TaskContext
+
+                cb = bc.value
+                mm, kk = cb.shape[0], cb.shape[1]
+                sums = np.zeros_like(cb)
+                cnts = np.zeros((mm, kk), dtype=np.int64)
+                seen = False
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    seen = True
+                    mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                    for j in range(mm):
+                        sl = mat[:, j * dsub : (j + 1) * dsub]
+                        scores = sl @ cb[j].T - 0.5 * np.sum(
+                            cb[j] * cb[j], axis=1
+                        )
+                        assign = np.argmax(scores, axis=1)
+                        np.add.at(sums[j], assign, sl)
+                        cnts[j] += np.bincount(assign, minlength=kk)
+                if not seen:
+                    return
+                pid = TaskContext.get().partitionId()
+                yield pd.DataFrame(
+                    {
+                        "pid": [pid] * cb.shape[0],
+                        "sub": list(range(cb.shape[0])),
+                        "cnt": [cnts[j].tolist() for j in range(cb.shape[0])],
+                        "flat": [
+                            sums[j].ravel().tolist()
+                            for j in range(cb.shape[0])
+                        ],
+                    }
                 )
+
+            part = (
+                vectors.select(vec_col)
+                .mapInPandas(partials, schema)
+                .toPandas()
+                .sort_values(["sub", "pid"])
             )
-        return np.stack(books)
+            sums = np.zeros_like(books)
+            cnts = np.zeros((m, k), dtype=np.int64)
+            for _, row in part.iterrows():
+                j = int(row["sub"])
+                sums[j] += np.asarray(
+                    row["flat"], dtype=np.float64
+                ).reshape(k, dsub)
+                cnts[j] += np.asarray(row["cnt"], dtype=np.int64)
+            books = books.copy()
+            for j in range(m):
+                nz = cnts[j] > 0
+                books[j][nz] = sums[j][nz] / cnts[j][nz, None]
+            bc.destroy()
+        return books
     finally:
         if owns_cache:
             vectors.unpersist(blocking=False)
