@@ -208,7 +208,7 @@ def main() -> None:
 
     lines = [
         "",
-        f"## Dedup chain at {n_docs:,} docs (round 4)",
+        f"## Dedup chain at {n_docs:,} docs, {time.strftime('%Y-%m-%d %H:%M')}",
         "",
         "minhash-LSH -> connected components (path halving) -> apply, on",
         "the standalone cluster via spark-submit --py-files; planted dup",
