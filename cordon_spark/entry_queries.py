@@ -1975,6 +1975,130 @@ FROM t GROUP BY conv_id
 """
 
 
+SEMDEDUP_TAU = 0.4
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup (operators/dedup.semdedup): assign each
+    embedding to its nearest coarse-quantizer centroid (map-only
+    literal projection), then prune near-duplicates within each
+    cluster only. Both engines use the same BAKED quantizer
+    (ivf_centroids_sf001, the build-once/serve-many shape pq_ann also
+    uses), so unlike ivf_ann this query is valid at ANY sf — the
+    kmeans-fit path is separately exercised in tests/test_dedup.py.
+    All-integer/boolean output: hash-proof across engines."""
+    import numpy as np
+
+    from cordon_spark.ivf_centroids_sf001 import IVF_CENTROIDS_SF001
+
+    ship_package(spark)
+    vecs = _normalized_vectors(spark, sf_dir)
+    return D.semdedup(
+        vecs,
+        np.asarray(IVF_CENTROIDS_SF001, dtype=np.float64),
+        tau=SEMDEDUP_TAU,
+    )
+
+
+# semdedup in SQL: baked centroid literals -> argmax assignment (ties
+# to the lowest cluster — row_number ordered (dot DESC, cluster)
+# mirrors Spark's array_position-of-max) -> within-cluster lower-id
+# neighbor with cosine >= tau marks a duplicate. Dot products are
+# ordered float64 folds on both engines (the ivf_ann-proven parity).
+SQL_SEMDEDUP = f"""
+WITH {NORM_EMB_SQL.strip()},
+cen(cluster, w) AS (VALUES
+  {{cen_values}}),
+ad AS (SELECT nv.vec_id, cen.cluster, list_dot_product(nv.v, cen.w) AS dot FROM nv, cen),
+ar AS (SELECT vec_id, cluster,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cluster) AS rn
+       FROM ad),
+asg AS (SELECT vec_id, cluster FROM ar WHERE rn = 1),
+dups AS (SELECT DISTINCT a.vec_id
+         FROM asg a JOIN asg b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+         JOIN nv va ON va.vec_id = a.vec_id
+         JOIN nv vb ON vb.vec_id = b.vec_id
+         WHERE list_dot_product(va.v, vb.v) >= {SEMDEDUP_TAU})
+SELECT a.vec_id, a.cluster::BIGINT AS cluster, (d.vec_id IS NULL) AS kept
+FROM asg a LEFT JOIN dups d ON d.vec_id = a.vec_id
+"""
+
+
+def q_tpch_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: the dimension-SELF-ALIAS probe — nation joins
+    the fact chain TWICE under different roles (supplier nation vs
+    customer nation), with the two-sided nation-pair predicate applied
+    at the broadcast edges, not after a wide join.
+
+    Plan: lineitem(shipdate-filtered at the scan) JOIN
+    broadcast(supplier x n1, nation-pair-filtered — only suppliers in
+    the two nations survive, so the fact table is pruned at its FIRST
+    join) -> shuffle on orderkey to orders -> shuffle on custkey to
+    customer JOIN broadcast(n2) with the pair-compatibility predicate
+    ((n1, n2) in the two allowed orientations) closing the filter.
+    Grouped decimal revenue by (supp_nation, cust_nation, year) —
+    map-side combined, all money math exact decimal."""
+    ship_package(spark)
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    pair = nation.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    n1 = pair.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = pair.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")
+    )
+    li = _lineitem(spark, sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(2,0)") - F.col("l_discount").cast("decimal(8,2)")
+    )
+    joined = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(n2),
+            (F.col("c_nationkey") == F.col("n2_key"))
+            & (F.col("supp_nation") != F.col("cust_nation")),
+        )
+    )
+    return (
+        joined.withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(r4l_dec(F.sum(revenue), "revenue_e4"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+SQL_TPCH_VOLUME_SHIPPING = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate)::BIGINT AS l_year,
+       floor(sum(l_extendedprice::DECIMAL(18,2)
+                  * (1::DECIMAL(2,0) - l_discount::DECIMAL(8,2)))::DECIMAL(20,6)
+             *10000::DECIMAL(10,0) + 0.5::DECIMAL(2,1))::BIGINT AS revenue_e4
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "window_segment": q_window_segment,
     "knn_score": q_knn_score,
@@ -2030,6 +2154,8 @@ QUERIES = {
     "split_dataset": q_split_dataset,
     "token_budget_sample": q_token_budget_sample,
     "conversation_stats": q_conversation_stats,
+    "semdedup": q_semdedup,
+    "tpch_volume_shipping": q_tpch_volume_shipping,
 }
 
 ORACLE_SQL = {
@@ -2093,4 +2219,6 @@ ORACLE_SQL = {
     "split_dataset": SQL_SPLIT_DATASET,
     "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "conversation_stats": SQL_CONVERSATION_STATS,
+    "semdedup": SQL_SEMDEDUP.replace("{cen_values}", _ivf_cen_values()),
+    "tpch_volume_shipping": SQL_TPCH_VOLUME_SHIPPING,
 }

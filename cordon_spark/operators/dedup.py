@@ -532,3 +532,93 @@ def minhash_lsh_pairs_collapsed(
         uniq_docs, id_col=id_col, text_col=text_col, **lsh_kwargs
     )
     return pairs.unionByName(star)
+
+
+def assign_to_centroids(
+    vectors: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Nearest-centroid assignment as a zero-shuffle JVM projection:
+    the k centroid vectors become array literals, the k dot products
+    materialize ONCE per row behind a Generate barrier (the same
+    spelling ivf_ann uses — a bare argmax expression would re-evaluate
+    every dot per comparison), and the winner is
+    array_position-of-max, ties to the LOWEST cluster id. `centroids`
+    is a (k, dim) numpy array, typically from similarity.kmeans_fit or
+    a baked quantizer; at any corpus size this is a map-only pass."""
+    from cordon_spark.operators.similarity import _dot
+
+    k = centroids.shape[0]
+    cen_arrs = [
+        F.array(*[F.lit(float(x)) for x in centroids[c]]) for c in range(k)
+    ]
+    dots_expr = F.array(*[_dot(F.col(vec_col), a) for a in cen_arrs])
+    return (
+        vectors.withColumn("_d", F.explode(F.array(dots_expr)))
+        .withColumn(out_col, F.expr("array_position(_d, array_max(_d)) - 1"))
+        .drop("_d")
+    )
+
+
+def semdedup(
+    vectors: DataFrame,
+    centroids,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with a coarse
+    quantizer, then prune near-duplicates WITHIN each cluster — the
+    cross-cluster pair space is never materialized, which is the whole
+    scale trick (the paper runs it at LAION/C4 scale with ~100k
+    clusters). A row is a duplicate iff some SAME-CLUSTER row with a
+    smaller id has cosine >= tau to it; the survivor of every dup
+    group is therefore deterministic (the paper keeps the member with
+    the lowest centroid similarity — we pin the lowest id instead so
+    both engines and repeated runs agree bit-for-bit).
+
+    Inputs are L2-normalized embeddings (similarity.normalize) and a
+    (k, dim) centroid matrix (kmeans_fit, or a baked quantizer for
+    build-once/serve-many). Returns (id, cluster, kept).
+
+    Plan shape: assignment is a map-only literal projection; the
+    within-cluster pair search is ONE self-join exchange on the
+    cluster id (AQE reuses the exchange for both sides), with pair
+    count bounded by sum(c_i^2) over cluster sizes — choose
+    k ~ N/1000 like the paper and no task sees more than a bounded
+    block. Byte-identical embedding floods (the analog of LSH's exact-
+    dup hot bucket) should be collapsed by digest first via
+    exact_dedup on a vector digest; clusters here bound the damage to
+    one cluster either way."""
+    assigned = assign_to_centroids(
+        vectors.select(id_col, vec_col), centroids, id_col=id_col, vec_col=vec_col
+    )
+    from cordon_spark.operators.similarity import _dot
+
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    cos = _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    dup_ids = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+        )
+        .filter(cos >= F.lit(float(tau)))
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dup_ids.withColumn("_dup", F.lit(True)), on=id_col, how="left"
+        )
+        .select(
+            id_col,
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("_dup").isNull().alias("kept"),
+        )
+    )

@@ -301,3 +301,88 @@ def test_minhash_collapsed_defuses_exact_dup_hot_bucket(spark):
     k_coll = sorted(r.doc_id for r in apply_dedup(docs, dedup_clusters(collapsed)).collect())
     assert k_plain == k_coll               # identical kept corpus
     plain.unpersist(); collapsed.unpersist()
+
+
+def _semdedup_reference(mat, centroids, tau):
+    """Numpy oracle for semdedup: argmax-dot assignment (ties to the
+    lowest cluster), dup iff a lower-id same-cluster row has
+    cosine >= tau."""
+    import numpy as np
+
+    assign = np.argmax(mat @ centroids.T, axis=1)
+    kept = []
+    for i in range(mat.shape[0]):
+        dup = any(
+            assign[j] == assign[i] and float(mat[i] @ mat[j]) >= tau
+            for j in range(i)
+        )
+        kept.append(not dup)
+    return assign, kept
+
+
+def test_semdedup_matches_numpy_reference(spark):
+    """semdedup with a FRESH kmeans_fit quantizer (the non-baked path
+    the entry query does not exercise) against a brute-force numpy
+    oracle, including planted near-dup groups."""
+    import numpy as np
+
+    from cordon_spark.operators.similarity import kmeans_fit
+
+    rng = np.random.RandomState(11)
+    base = kernel.l2_normalize(rng.randn(30, 8))
+    near = kernel.l2_normalize(base[:10] + 0.02 * rng.randn(10, 8))
+    mat = np.vstack([base, near])
+    vecs = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(len(mat)), "v": [list(r) for r in mat]})
+    )
+    cen = kmeans_fit(vecs, k=4, iters=3)
+    got = {
+        r.vec_id: (r.cluster, r.kept)
+        for r in D.semdedup(vecs, cen, tau=0.9).collect()
+    }
+    assign, kept = _semdedup_reference(mat, cen, 0.9)
+    assert len(got) == len(mat)
+    for i in range(len(mat)):
+        assert got[i] == (assign[i], kept[i]), i
+    # the planted near-dups must actually prune something
+    assert sum(1 for _, k in got.values() if not k) >= 5
+
+
+def test_semdedup_tau_extremes(spark):
+    """tau > 1: nothing prunes. tau <= -1: exactly one survivor per
+    cluster (the min id) — the degenerate bounds pin the comparison
+    direction and the lower-id witness rule."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    mat = kernel.l2_normalize(rng.randn(20, 6))
+    vecs = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(len(mat)), "v": [list(r) for r in mat]})
+    )
+    from cordon_spark.operators.similarity import kmeans_fit
+
+    cen = kmeans_fit(vecs, k=3, iters=2)
+    all_kept = D.semdedup(vecs, cen, tau=1.5).collect()
+    assert all(r.kept for r in all_kept)
+    one_per = D.semdedup(vecs, cen, tau=-1.5).collect()
+    by_cluster = {}
+    for r in one_per:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for rows in by_cluster.values():
+        kept_ids = sorted(r.vec_id for r in rows if r.kept)
+        assert kept_ids == [min(r.vec_id for r in rows)]
+
+
+def test_assign_to_centroids_map_only(spark):
+    """Centroid assignment must stay a zero-exchange literal
+    projection at any corpus size (the SemDeDup/IVF scale property)."""
+    import numpy as np
+
+    mat = kernel.l2_normalize(np.random.RandomState(5).randn(10, 4))
+    vecs = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(len(mat)), "v": [list(r) for r in mat]})
+    )
+    out = D.assign_to_centroids(vecs, mat[:3])
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

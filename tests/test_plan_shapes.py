@@ -208,3 +208,32 @@ def test_tpch_q3_broadcast_dim_and_pushdown(spark):
     assert c["broadcasts"] >= 1, c["plan"]
     assert "PushedFilters" in c["plan"]
     assert "l_shipdate" in c["plan"] and "o_orderdate" in c["plan"]
+
+
+def test_tpch_q7_broadcast_nation_roles_and_pushdown(spark):
+    """Volume-shipping (Q7 shape): both nation roles ride broadcasts
+    (the pair-filtered supplier chain into the fact scan, n2 closing
+    the orientation predicate), the fact stream keeps to its two
+    unavoidable key exchanges plus agg/sort, and the ship-date filter
+    reaches the lineitem parquet scan."""
+    from cordon_spark import entry_queries as Q
+
+    df = Q.QUERIES["tpch_volume_shipping"](spark, SF_DIR)
+    df.collect()
+    c = _counts(df)
+    assert c["broadcasts"] >= 2, c["plan"]
+    assert c["shuffles"] <= 4, c["plan"]
+    assert "PushedFilters" in c["plan"] and "l_shipdate" in c["plan"]
+
+
+def test_semdedup_single_pair_exchange_family(spark):
+    """SemDeDup: centroid assignment is map-only (asserted separately
+    in test_dedup), so the whole query's exchanges belong to the
+    within-cluster self-join + dup-id dedup + kept join only — a
+    bounded family that does NOT grow with the centroid count."""
+    from cordon_spark import entry_queries as Q
+
+    df = Q.QUERIES["semdedup"](spark, SF_DIR)
+    df.collect()
+    c = _counts(df)
+    assert c["shuffles"] <= 5, c["plan"]
