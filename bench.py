@@ -150,6 +150,8 @@ def main() -> None:
         "curate_corpus",
         "tpch_pricing_summary",
         "tpch_local_supplier_volume",
+        "tpch_volume_shipping",
+        "semdedup",
     ):
         timings[name] = min(
             _timed(lambda: Q.QUERIES[name](spark, sf_dir).collect())

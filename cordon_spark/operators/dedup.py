@@ -622,3 +622,104 @@ def semdedup(
             F.col("_dup").isNull().alias("kept"),
         )
     )
+
+
+def assign_to_centroids_pandas(
+    vectors: DataFrame,
+    centroids,
+    vec_col: str = "v",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Large-k spelling of assign_to_centroids: broadcast the (k, dim)
+    matrix and argmax a BLAS matmul per Arrow batch. The literal-
+    projection path embeds k*dim literals in the plan — right for the
+    small quantizers the oracles pin (k<=64), wrong for the k ~ N/1000
+    quantizers SemDeDup wants at corpus scale (the expression tree and
+    codegen grow with k; numpy is O(1) plan-size and ~BLAS-fast).
+    np.argmax ties to the FIRST maximum = the lowest cluster id, the
+    same tie rule as array_position-of-max; the two paths may disagree
+    only when two dots tie within 1 ulp (never observed — asserted
+    equal on the test quantizers)."""
+    import numpy as np
+
+    spark = vectors.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+    fields = [f for f in vectors.schema.fields]
+    out_schema = T.StructType(fields + [T.StructField(out_col, T.LongType())])
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cen = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            pdf = pdf.copy()
+            pdf[out_col] = np.argmax(mat @ cen.T, axis=1).astype(np.int64)
+            yield pdf
+
+    return vectors.mapInPandas(assign, out_schema)
+
+
+def semdedup_blocks(
+    vectors: DataFrame,
+    centroids,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    row_block: int = 1024,
+) -> DataFrame:
+    """Scale path of semdedup, shaped like the paper's own
+    implementation: ONE shuffle groups each cluster's members onto an
+    executor, and the within-cluster pair search is a blocked BLAS
+    matmul instead of a JVM fold per pair — same (id, cluster, kept)
+    output, same lowest-id survivor rule (rows sorted by id; row i is
+    a dup iff any j < i has cosine >= tau, witnesses need not
+    themselves survive).
+
+    Memory: a cluster of size m holds its (m, dim) float64 matrix plus
+    one (row_block, m) similarity block — choose k ~ N/1000 like the
+    paper and a 4k-row cluster costs ~2 MB matrix + ~32 MB block.
+    Byte-identical floods should be digest-collapsed first
+    (exact_dedup); the cluster bound caps the damage either way.
+
+    The join-based semdedup stays the semantics oracle (DuckDB-checked
+    in the driver gate); equality of the two paths is asserted in
+    tests at margins where a last-ulp dot difference cannot flip a
+    tau comparison."""
+    import numpy as np
+
+    assigned = assign_to_centroids_pandas(
+        vectors.select(id_col, vec_col), centroids, vec_col=vec_col
+    )
+    id_type = vectors.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("cluster", T.LongType()),
+            T.StructField("kept", T.BooleanType()),
+        ]
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        m = len(pdf)
+        dup = np.zeros(m, dtype=bool)
+        for lo in range(0, m, row_block):
+            hi = min(lo + row_block, m)
+            if lo == 0 and hi == 1:
+                continue
+            sims = mat[lo:hi] @ mat[: hi].T  # (block, hi)
+            for i in range(lo, hi):
+                if i == 0:
+                    continue
+                dup[i] = bool((sims[i - lo, :i] >= tau).any())
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cluster": pdf["cluster"].astype("int64"),
+                "kept": ~dup,
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(prune, out_schema)

@@ -386,3 +386,31 @@ def test_assign_to_centroids_map_only(spark):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_semdedup_blocks_matches_join_path(spark):
+    """The BLAS scale path must reproduce the join-based oracle path
+    exactly — same clusters, same survivors — including across a
+    row_block boundary (row_block=4 forces multi-block pruning)."""
+    import numpy as np
+
+    from cordon_spark.operators.similarity import kmeans_fit
+
+    rng = np.random.RandomState(17)
+    base = kernel.l2_normalize(rng.randn(40, 8))
+    near = kernel.l2_normalize(base[:15] + 0.02 * rng.randn(15, 8))
+    mat = np.vstack([base, near])
+    vecs = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(len(mat)), "v": [list(r) for r in mat]})
+    ).repartition(4)
+    cen = kmeans_fit(vecs, k=5, iters=3)
+    want = sorted(
+        (r.vec_id, r.cluster, r.kept)
+        for r in D.semdedup(vecs, cen, tau=0.9).collect()
+    )
+    got = sorted(
+        (r.vec_id, r.cluster, r.kept)
+        for r in D.semdedup_blocks(vecs, cen, tau=0.9, row_block=4).collect()
+    )
+    assert got == want
+    assert any(not k for _, _, k in got)
