@@ -152,6 +152,7 @@ def main() -> None:
         "tpch_local_supplier_volume",
         "tpch_volume_shipping",
         "semdedup",
+        "substring_dup_spans",
     ):
         timings[name] = min(
             _timed(lambda: Q.QUERIES[name](spark, sf_dir).collect())

@@ -2099,6 +2099,43 @@ ORDER BY 1, 2, 3
 """
 
 
+SUBSTR_K = 8
+
+
+def q_substring_dup_spans(spark, sf_dir):
+    """Duplicate substring spans (operators/dedup.substring_dup_spans):
+    rolling k-token md5 window fingerprints, corpus-wide repeated-window
+    detection via a map-side-combined hash agg, per-doc equal-width
+    interval merge. All-integer output: hash-proof across engines."""
+    ship_package(spark)
+    return D.substring_dup_spans(_docs(spark, sf_dir), k=SUBSTR_K)
+
+
+# Same window fingerprints in SQL: unnest the window-start series to
+# rows, md5 the space-joined k-token slice (DuckDB list slicing is
+# 1-based inclusive, matching Spark's slice(toks, i, k)), HAVING
+# count(*) > 1 over the corpus, then the identical equal-width island
+# merge (break when pos - prev_pos > k; NULL > k is false on both
+# engines, so first rows open island 0).
+SQL_SUBSTRING_DUP_SPANS = f"""
+WITH {_TOKS_SQL.strip()},
+w0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {SUBSTR_K} + 1)) AS i
+       FROM tk WHERE len(toks) >= {SUBSTR_K}),
+w AS (SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(toks[i:i+{SUBSTR_K - 1}], ' ')) AS fp FROM w0),
+d AS (SELECT fp FROM w GROUP BY fp HAVING count(*) > 1),
+f AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (fp)),
+m AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {SUBSTR_K}
+                  THEN 1 ELSE 0 END AS brk FROM f),
+isl AS (SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM m)
+SELECT doc_id, min(pos) AS span_start, max(pos) + {SUBSTR_K} - 1 AS span_end,
+       count(*)::BIGINT AS n_windows
+FROM isl GROUP BY doc_id, isl
+"""
+
+
 QUERIES = {
     "window_segment": q_window_segment,
     "knn_score": q_knn_score,
@@ -2156,6 +2193,7 @@ QUERIES = {
     "conversation_stats": q_conversation_stats,
     "semdedup": q_semdedup,
     "tpch_volume_shipping": q_tpch_volume_shipping,
+    "substring_dup_spans": q_substring_dup_spans,
 }
 
 ORACLE_SQL = {
@@ -2221,4 +2259,5 @@ ORACLE_SQL = {
     "conversation_stats": SQL_CONVERSATION_STATS,
     "semdedup": SQL_SEMDEDUP.replace("{cen_values}", _ivf_cen_values()),
     "tpch_volume_shipping": SQL_TPCH_VOLUME_SHIPPING,
+    "substring_dup_spans": SQL_SUBSTRING_DUP_SPANS,
 }

@@ -237,3 +237,22 @@ def test_semdedup_single_pair_exchange_family(spark):
     df.collect()
     c = _counts(df)
     assert c["shuffles"] <= 5, c["plan"]
+
+
+def test_substring_dup_spans_skew_safe(spark):
+    """Substring dup spans: repeated-window detection must be a
+    map-side-combined hash aggregation on the fingerprint (partial agg
+    collapses a Zipfian hot window per-partition before the exchange)
+    and the only window function runs partitioned by doc_id — never by
+    the fingerprint key."""
+    from cordon_spark import entry_queries as Q
+
+    df = Q.QUERIES["substring_dup_spans"](spark, SF_DIR)
+    df.count()
+    c = _counts(df)
+    plan = c["plan"]
+    assert "windowspecdefinition(fp" not in plan, plan
+    assert "partial_count" in plan, plan  # map-side combine on fp
+    # exchanges: fp agg, fp join side(s), doc window, final agg reuse —
+    # bounded; the key property is NO unbounded growth
+    assert c["shuffles"] <= 5, plan
