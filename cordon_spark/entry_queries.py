@@ -2122,7 +2122,8 @@ WITH {_TOKS_SQL.strip()},
 w0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {SUBSTR_K} + 1)) AS i
        FROM tk WHERE len(toks) >= {SUBSTR_K}),
 w AS (SELECT doc_id, i - 1 AS pos,
-             md5(array_to_string(toks[i:i+{SUBSTR_K - 1}], ' ')) AS fp FROM w0),
+             ('0x' || substr(md5(array_to_string(toks[i:i+{SUBSTR_K - 1}], ' ')), 1, 15))::UBIGINT::BIGINT AS fp
+      FROM w0),
 d AS (SELECT fp FROM w GROUP BY fp HAVING count(*) > 1),
 f AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (fp)),
 m AS (SELECT doc_id, pos,
