@@ -1035,12 +1035,15 @@ def q_ivf_ann(spark, sf_dir):
     path'): deterministic k-means inverted lists + n_probe nearest
     clusters per query. Hash-checked END TO END: the Lloyd fit is
     bit-reproducible (md5-seeded init, fixed iters — verified identical
-    across local[8]/local[32] and processes), so its sf0.01 centroids
-    are baked as literals into the DuckDB oracle
-    (scripts/gen_ivf_centroids.py) and the assignment / probe-list /
-    top-k all replay exactly in SQL downstream of the fit. If the fit
-    ever drifted, the driver's hash gate would catch it. Recall vs
-    brute force + full-probe==exact are additionally asserted in
+    across local[8]/local[32] and processes), so the per-scale centroid
+    sets are baked as literals into the DuckDB oracle
+    (scripts/gen_ivf_centroids.py; sf0.001/sf0.01/sf0.1 keyed by the
+    exact float64 of embedding[0] at vec_id=0, an exact FLOAT->DOUBLE
+    widening both engines share) and the assignment / probe-list /
+    top-k all replay exactly in SQL downstream of the fit — the one
+    static oracle string is valid at every baked scale. If the fit ever
+    drifted, the driver's hash gate would catch it. Recall vs brute
+    force + full-probe==exact are additionally asserted in
     tests/test_similarity.py."""
     ship_package(spark)
     vecs = _normalized_vectors(spark, sf_dir)
@@ -1053,26 +1056,31 @@ def q_ivf_ann(spark, sf_dir):
 
 
 def _ivf_cen_values() -> str:
-    from cordon_spark.ivf_centroids_sf001 import IVF_CENTROIDS_SF001
+    from cordon_spark.ivf_centroids import IVF_CENTROIDS_BY_E0
 
     return ",\n  ".join(
-        f"({c}, [{', '.join(repr(x) for x in row)}])"
-        for c, row in enumerate(IVF_CENTROIDS_SF001)
+        f"({e0!r}::DOUBLE, {c}, [{', '.join(repr(x) for x in row)}])"
+        for e0, rows in IVF_CENTROIDS_BY_E0.items()
+        for c, row in enumerate(rows)
     )
 
 
-# ivf_ann in SQL, downstream of the deterministic fit: centroid
-# literals -> argmax assignment (ties to the lowest cluster, matching
-# Spark's array_position-of-max) -> per-query top-n_probe clusters
-# (dot desc, cluster asc — matching the Spark struct sort on (-dot, c))
-# -> candidate join -> exact cosine top-k. Valid for sf0.01, the scale
-# the driver's correctness gate compares at.
+# ivf_ann in SQL, downstream of the deterministic fit: per-scale
+# centroid literals (selected by joining on the exact float64 of
+# embedding[0] at vec_id=0 — FLOAT->DOUBLE widening is exact, so
+# equality is safe) -> argmax assignment (ties to the lowest cluster,
+# matching Spark's array_position-of-max) -> per-query top-n_probe
+# clusters (dot desc, cluster asc — matching the Spark struct sort on
+# (-dot, c)) -> candidate join -> exact cosine top-k. Valid at every
+# baked scale (sf0.001 / sf0.01 / sf0.1).
 SQL_IVF_ANN = f"""
 WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
 nr AS (SELECT vec_id, sqrt(list_dot_product(v0, v0)) AS nn, v0 FROM e0),
 nv AS (SELECT vec_id, CASE WHEN nn > 0 THEN list_transform(v0, x -> x / nn) ELSE v0 END AS v FROM nr),
-cen(cluster, w) AS (VALUES
+disc AS (SELECT (embedding::DOUBLE[])[1] AS key FROM embeddings WHERE vec_id = 0),
+cen_all(key, cluster, w) AS (VALUES
   {{cen_values}}),
+cen AS (SELECT cluster, w FROM cen_all JOIN disc USING (key)),
 ad AS (SELECT nv.vec_id, cen.cluster, list_dot_product(nv.v, cen.w) AS dot FROM nv, cen),
 ar AS (SELECT vec_id, cluster,
               row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cluster) AS rn
