@@ -1056,12 +1056,25 @@ def q_ivf_ann(spark, sf_dir):
 
 
 def _ivf_cen_values() -> str:
+    """(key, cluster, vec) literal rows for the scale-aware ivf_ann
+    oracle — every baked scale's set, keyed by its e0 discriminant."""
     from cordon_spark.ivf_centroids import IVF_CENTROIDS_BY_E0
 
     return ",\n  ".join(
         f"({e0!r}::DOUBLE, {c}, [{', '.join(repr(x) for x in row)}])"
         for e0, rows in IVF_CENTROIDS_BY_E0.items()
         for c, row in enumerate(rows)
+    )
+
+
+def _sf001_cen_values() -> str:
+    """(cluster, vec) literal rows of the FIXED sf0.01 quantizer — the
+    build-once/serve-many centroid set q_semdedup uses at any scale."""
+    from cordon_spark.ivf_centroids_sf001 import IVF_CENTROIDS_SF001
+
+    return ",\n  ".join(
+        f"({c}, [{', '.join(repr(x) for x in row)}])"
+        for c, row in enumerate(IVF_CENTROIDS_SF001)
     )
 
 
@@ -2107,6 +2120,131 @@ ORDER BY 1, 2, 3
 """
 
 
+def q_tpch_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: the EXISTS / semi-join probe — orders in one
+    quarter with at least one lineitem shipped more than 60 days after
+    the order date, counted by priority. Plan: the order-date filter is
+    pushed to the orders scan, lineitem is column-pruned to
+    (l_orderkey, l_shipdate), and the EXISTS is a LEFT SEMI join with
+    the non-equi date predicate inside the join condition — the probe
+    stops at the first matching line, so there is no fact-x-fact row
+    blowup and no DISTINCT pass, then a tiny map-side-combined count."""
+    ship_package(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = _lineitem(spark, sf_dir).select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_TPCH_ORDER_PRIORITY = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_tpch_parts_supplier(spark, sf_dir):
+    """TPC-H Q16 shape: the NOT-IN anti-join + COUNT DISTINCT probe —
+    distinct suppliers per surviving (brand, type, size) part group,
+    excluding negative-balance suppliers. Plan: the part filter is
+    pushed to its scan and the filtered dim BROADCAST to the pruned
+    (l_partkey, l_suppkey) fact scan; the tiny exclusion set is a
+    broadcast LEFT ANTI; the distinct aggregate runs as Spark's
+    two-phase expand (partial distinct on (group keys, suppkey), final
+    count) — skew-safe where a collect_set would concentrate a hot
+    group on one task."""
+    ship_package(spark)
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        (F.col("p_brand") != "Brand#45") & (F.col("p_size") <= 10)
+    )
+    excl = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pairs = (
+        _lineitem(spark, sf_dir)
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(excl), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+SQL_TPCH_PARTS_SUPPLIER = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45' AND p_size <= 10
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, 1, 2, 3
+"""
+
+
+def q_rolling_metrics(spark, sf_dir):
+    """Bounded-frame window aggregate (time-series rolling metrics):
+    per-user trailing 1-hour event count and value sum. RANGE-framed on
+    microsecond event time, so tie ordering cannot affect the frame
+    (and (user_id, ts) is unique in this corpus anyway). Plan: ONE
+    keyed exchange on user_id; the frame is evaluated by a sliding
+    accumulator inside each sorted partition — no self-join, no
+    explode, no second shuffle. The sum accumulates in decimal =>
+    order-independent => hash-proof scaled long."""
+    ship_package(spark)
+    from pyspark.sql import Window as W
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("value").cast("decimal(20,6)").alias("v"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.count(F.lit(1)).over(w).alias("roll_n"),
+        r4l_dec(F.sum("v").over(w), "roll_sum_e4"),
+    )
+
+
+SQL_ROLLING_METRICS = """
+SELECT event_id, user_id, epoch_us(ts) AS us,
+       count(*) OVER w AS roll_n,
+       floor((sum(value::DECIMAL(20,6)) OVER w)::DECIMAL(20,6)
+             *10000::DECIMAL(10,0) + 0.5::DECIMAL(2,1))::BIGINT AS roll_sum_e4
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 SUBSTR_K = 8
 
 
@@ -2203,6 +2341,9 @@ QUERIES = {
     "semdedup": q_semdedup,
     "tpch_volume_shipping": q_tpch_volume_shipping,
     "substring_dup_spans": q_substring_dup_spans,
+    "tpch_order_priority": q_tpch_order_priority,
+    "tpch_parts_supplier": q_tpch_parts_supplier,
+    "rolling_metrics": q_rolling_metrics,
 }
 
 ORACLE_SQL = {
@@ -2266,7 +2407,10 @@ ORACLE_SQL = {
     "split_dataset": SQL_SPLIT_DATASET,
     "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "conversation_stats": SQL_CONVERSATION_STATS,
-    "semdedup": SQL_SEMDEDUP.replace("{cen_values}", _ivf_cen_values()),
+    "semdedup": SQL_SEMDEDUP.replace("{cen_values}", _sf001_cen_values()),
     "tpch_volume_shipping": SQL_TPCH_VOLUME_SHIPPING,
     "substring_dup_spans": SQL_SUBSTRING_DUP_SPANS,
+    "tpch_order_priority": SQL_TPCH_ORDER_PRIORITY,
+    "tpch_parts_supplier": SQL_TPCH_PARTS_SUPPLIER,
+    "rolling_metrics": SQL_ROLLING_METRICS,
 }

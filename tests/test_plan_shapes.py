@@ -256,3 +256,50 @@ def test_substring_dup_spans_skew_safe(spark):
     # exchanges: fp agg, fp join side(s), doc window, final agg reuse —
     # bounded; the key property is NO unbounded growth
     assert c["shuffles"] <= 5, plan
+
+
+def test_tpch_q4_semi_join_no_fact_blowup(spark):
+    """Q4 shape: the EXISTS must execute as a LEFT SEMI join (probe
+    stops at first match — no fact-x-fact multiplication, no Distinct
+    operator anywhere), with the quarter filter pushed to the orders
+    parquet scan and lineitem pruned to two columns."""
+    from cordon_spark import entry_queries as Q
+
+    df = Q.QUERIES["tpch_order_priority"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "Distinct" not in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate,1997-01-01" in plan, plan  # pushed
+    assert "ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp" in plan, plan
+
+
+def test_tpch_q16_broadcast_anti_and_two_phase_distinct(spark):
+    """Q16 shape: filtered part dim and the tiny exclusion set must
+    both broadcast (one as LeftAnti), and the COUNT DISTINCT must run
+    as the two-phase expand (partial aggregation on (keys, suppkey)
+    before the exchange) — never a single-task collect_set."""
+    from cordon_spark import entry_queries as Q
+
+    df = Q.QUERIES["tpch_parts_supplier"](spark, SF_DIR)
+    c = _counts(df)
+    plan = c["plan"]
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "LeftAnti" in plan, plan
+    assert "partial_count(distinct" in plan, plan  # two-phase distinct
+    # exactly: (keys, suppkey) dedup exchange, (keys) final agg
+    # exchange, rangepartitioning for the output order — nothing else
+    assert c["shuffles"] == 3, plan
+
+
+def test_rolling_metrics_single_exchange_range_frame(spark):
+    """Rolling metrics: exactly ONE hash exchange (on user_id) and a
+    RANGE frame evaluated inside the sorted partition — no self-join,
+    no range-join explosion."""
+    from cordon_spark import entry_queries as Q
+
+    df = Q.QUERIES["rolling_metrics"](spark, SF_DIR)
+    c = _counts(df)
+    assert c["shuffles"] == 1, c["plan"]
+    assert "Join" not in c["plan"], c["plan"]
+    assert "specifiedwindowframe(RangeFrame" in c["plan"], c["plan"]
