@@ -153,6 +153,9 @@ def main() -> None:
         "tpch_volume_shipping",
         "semdedup",
         "substring_dup_spans",
+        "tpch_order_priority",
+        "tpch_parts_supplier",
+        "rolling_metrics",
     ):
         timings[name] = min(
             _timed(lambda: Q.QUERIES[name](spark, sf_dir).collect())

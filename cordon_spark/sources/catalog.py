@@ -162,6 +162,61 @@ class SnapshotCatalog:
             )
         return manifest
 
+    def cluster(
+        self,
+        spark: SparkSession,
+        table: str,
+        cols: list[str],
+        snapshot_id: str | None = None,
+        n_files: int | None = None,
+        bits_per_col: int = 8,
+        new_snapshot_id: str | None = None,
+    ) -> dict:
+        """Z-order clustering rewrite (Delta `OPTIMIZE ZORDER BY` /
+        Iceberg sort-order semantics): rewrite a snapshot's data
+        clustered on the Morton interleave of `cols` as a NEW immutable
+        snapshot — history preserved, pointer flips atomically after
+        commit. Every clustered column then has tight per-file min/max
+        envelopes, so parquet stats prune scans filtered on ANY of
+        them (see sources/layout.py for why and how). One range
+        shuffle; the quantile cutpoints are the only driver traffic."""
+        from cordon_spark.sources.layout import zorder_value
+
+        sid = snapshot_id or self.current_snapshot(table)
+        if sid is None:
+            raise FileNotFoundError(f"no committed snapshot for table {table}")
+        src_dir = self._data_dir(table, sid)
+        if n_files is None:
+            n_files = max(
+                1, len([p for p in src_dir.rglob("*.parquet")]) // 4
+            )
+        df = spark.read.parquet(str(src_dir))
+        zdf, info = zorder_value(df, cols, bits_per_col)
+        clustered = (
+            zdf.repartitionByRange(int(n_files), "_zval")
+            .sortWithinPartitions("_zval")
+            .drop("_zval")
+        )
+        new_sid = new_snapshot_id or f"{sid}-zorder"
+        manifest = self.write_snapshot(
+            clustered,
+            table,
+            new_sid,
+            lineage={
+                "op": "cluster",
+                "source_snapshot": sid,
+                "zorder_cols": cols,
+                "bits_per_col": bits_per_col,
+                "n_files": int(n_files),
+            },
+        )
+        src_rows = self.manifest(table, sid)["rows"]
+        if manifest["rows"] != src_rows:  # pragma: no cover - invariant
+            raise RuntimeError(
+                f"cluster row mismatch: {manifest['rows']} != {src_rows}"
+            )
+        return manifest
+
 
 def make_catalog(root: str | Path, spark: SparkSession | None = None):
     """Factory: Iceberg when a runtime catalog is configured, else the
