@@ -79,8 +79,12 @@ class IncrementalRollup:
             if sid in done:
                 continue
             lin = self.catalog.manifest(self.src, sid)["lineage"] or {}
-            if lin.get("op") in _REWRITE_OPS and lin.get("source_snapshot") in done:
-                continue  # rewrite of rows already folded in
+            if lin.get("op") in _REWRITE_OPS:
+                # rewrites (compaction, clustering) re-layout EXISTING
+                # rows — the catalog enforces their row invariant — so
+                # they never contribute delta, even when chained
+                # (compact -> cluster): skip unconditionally
+                continue
             out.append(sid)
         return out
 

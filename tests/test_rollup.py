@@ -69,9 +69,11 @@ def test_rewrite_snapshots_not_double_counted(spark, tmp_path):
     part = _mk_batch(spark, seed=9).repartition(6)
     cat.write_snapshot(part, "ev", "s1")
     mv.refresh(spark)
-    # compaction rewrites the SAME rows as a new snapshot
+    # compaction, then clustering CHAINED on the compacted snapshot —
+    # both rewrite the SAME rows; neither may re-enter the rollup
     cat.compact(spark, "ev", "s1")
-    assert mv.pending() == []  # rewrite of covered rows: skipped
+    cat.cluster(spark, "ev", ["k"], n_files=2)
+    assert mv.pending() == []  # rewrites skipped, even chained
     m = mv.refresh(spark)  # still a no-op
     assert m["lineage"]["delta_snapshots"] == ["s1"]
     assert _as_dict(cat.read(spark, "ev_by_k")) == _as_dict(_full_recompute([part]))
