@@ -2245,6 +2245,137 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 """
 
 
+def q_argmax_event(spark, sf_dir):
+    """Per-key argmax WITHOUT a window sort: each user's
+    highest-valued event via ONE struct-max hash aggregation —
+    lexicographic max over (scaled value, timestamp, event_id) is
+    deterministic under ties AND partially aggregable, so the whole
+    query is a single map-side-combined exchange. The window
+    spelling (row_number over a per-user sort, cf. topk_per_group)
+    must SORT every user's history; struct-max keeps one row of state
+    per key per partition — the right argmax shape at 10^12 turns."""
+    ship_package(spark)
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long").alias("ve4"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    best = ev.groupBy("user_id").agg(
+        F.max(F.struct("ve4", "us", "event_id")).alias("b")
+    )
+    return best.select(
+        "user_id",
+        F.col("b.ve4").alias("best_value_e4"),
+        F.col("b.us").alias("best_us"),
+        F.col("b.event_id").alias("best_event_id"),
+    )
+
+
+SQL_ARGMAX_EVENT = """
+WITH e AS (SELECT user_id,
+                  floor(value*10000 + 0.5)::BIGINT AS ve4,
+                  epoch_us(ts) AS us, event_id,
+                  row_number() OVER (PARTITION BY user_id
+                      ORDER BY floor(value*10000 + 0.5) DESC,
+                               epoch_us(ts) DESC, event_id DESC) AS rn
+           FROM events)
+SELECT user_id, ve4 AS best_value_e4, us AS best_us,
+       event_id AS best_event_id
+FROM e WHERE rn = 1
+"""
+
+
+def q_cube_rollup(spark, sf_dir):
+    """Full CUBE over (event_type, day-of-week): all four grouping
+    sets in ONE Expand + map-side-combined hash agg pass — the OLAP
+    companion to rollup_hierarchy's ROLLUP. Each input row expands to
+    4 rows BEFORE the partial aggregation, so the exchange still
+    carries only group totals; grouping_id disambiguates levels.
+    Decimal sums => hash-proof scaled longs."""
+    ship_package(spark)
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.dayofweek(F.col("ts").cast("timestamp")).cast("long").alias("dow"),
+        F.col("value").cast("decimal(20,6)").alias("v"),
+    )
+    return ev.cube("event_type", "dow").agg(
+        F.grouping_id("event_type", "dow").cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        r4l_dec(F.sum("v"), "value_sum_e4"),
+    )
+
+
+SQL_CUBE_ROLLUP = """
+SELECT event_type, dayofweek(ts)::BIGINT + 1 AS dow,
+       grouping_id(event_type, dayofweek(ts)::BIGINT + 1)::BIGINT AS gid,
+       count(*) AS n,
+       floor(sum(value::DECIMAL(20,6))::DECIMAL(20,6)*10000::DECIMAL(10,0)
+             + 0.5::DECIMAL(2,1))::BIGINT AS value_sum_e4
+FROM events GROUP BY CUBE(1, 2)
+"""
+
+
+def q_group_median(spark, sf_dir):
+    """Exact per-group median + extremes: Spark's `percentile` (exact,
+    sort-based ObjectHashAggregate) vs DuckDB's quantile_cont — both
+    engines interpolate (a+b)/2 on float64, the identical IEEE ops in
+    the identical order, and the result is r4-floored. At 100 TB the
+    exact percentile sorts per group WITHIN the hash agg's partial
+    state (no global sort, no window); groups here are the 5 event
+    types, so state is bounded."""
+    ship_package(spark)
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        r4(F.expr("percentile(value, 0.5)"), "median_value"),
+        r4(F.min("value"), "min_value"),
+        r4(F.max("value"), "max_value"),
+    )
+
+
+SQL_GROUP_MEDIAN = """
+SELECT event_type, count(*) AS n,
+       floor(quantile_cont(value, 0.5)*10000 + 0.5)/10000 AS median_value,
+       floor(min(value)*10000 + 0.5)/10000 AS min_value,
+       floor(max(value)*10000 + 0.5)/10000 AS max_value
+FROM events GROUP BY 1
+"""
+
+
+_PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_pivot_event_counts(spark, sf_dir):
+    """Pivot (long -> wide): per-user event counts with one column per
+    event type, spelled as count-if aggregates over an EXPLICIT value
+    list — ONE map-side-combined exchange on user_id. This is the
+    scale spelling of `.pivot()`: DataFrame.pivot with explicit values
+    still plans a (user_id, event_type) pre-agg exchange plus a
+    pivotfirst exchange (2 shuffles), and an IMPLICIT pivot adds a
+    distinct-collect on the driver on top; count-if needs none of
+    that at 10^9 users."""
+    ship_package(spark)
+    ev = _events(spark, sf_dir).select("user_id", "event_type")
+    return ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, F.lit(1))).alias(t)
+            for t in _PIVOT_TYPES
+        ]
+    )
+
+
+SQL_PIVOT_EVENT_COUNTS = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS click,
+       count(*) FILTER (event_type = 'view')     AS view,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup')   AS signup,
+       count(*) FILTER (event_type = 'error')    AS error
+FROM events GROUP BY 1
+"""
+
+
 SUBSTR_K = 8
 
 
@@ -2344,6 +2475,10 @@ QUERIES = {
     "tpch_order_priority": q_tpch_order_priority,
     "tpch_parts_supplier": q_tpch_parts_supplier,
     "rolling_metrics": q_rolling_metrics,
+    "argmax_event": q_argmax_event,
+    "cube_rollup": q_cube_rollup,
+    "group_median": q_group_median,
+    "pivot_event_counts": q_pivot_event_counts,
 }
 
 ORACLE_SQL = {
@@ -2413,4 +2548,8 @@ ORACLE_SQL = {
     "tpch_order_priority": SQL_TPCH_ORDER_PRIORITY,
     "tpch_parts_supplier": SQL_TPCH_PARTS_SUPPLIER,
     "rolling_metrics": SQL_ROLLING_METRICS,
+    "argmax_event": SQL_ARGMAX_EVENT,
+    "cube_rollup": SQL_CUBE_ROLLUP,
+    "group_median": SQL_GROUP_MEDIAN,
+    "pivot_event_counts": SQL_PIVOT_EVENT_COUNTS,
 }

@@ -20,13 +20,14 @@ TABLES = [
     "events", "documents", "embeddings",
     "lineitem", "orders", "customer",  # star-schema queries
     "supplier", "nation", "region",  # Q5-shape dimension chain
+    "part",  # Q16 shape
 ]
 
-# The ivf_ann oracle bakes the deterministic k-means centroids of the
-# sf0.01 dataset as SQL literals (the scale the external driver's gate
-# compares at — see scripts/gen_ivf_centroids.py), so that one query is
-# checked against sf0.01 here too.
-SF_OVERRIDE = {"ivf_ann": "/root/testdata/sf0.01"}
+# The ivf_ann oracle bakes per-scale k-means centroid sets keyed by an
+# exact float discriminator (scripts/gen_ivf_centroids.py), so since
+# round 5 it is hash-exact at sf0.001 like every other query and needs
+# no scale override.
+SF_OVERRIDE: dict[str, str] = {}
 
 
 def _connect(sf_dir):

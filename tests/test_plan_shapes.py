@@ -303,3 +303,46 @@ def test_rolling_metrics_single_exchange_range_frame(spark):
     assert c["shuffles"] == 1, c["plan"]
     assert "Join" not in c["plan"], c["plan"]
     assert "specifiedwindowframe(RangeFrame" in c["plan"], c["plan"]
+
+
+def test_argmax_single_hash_agg_no_window(spark):
+    """argmax_event must be ONE map-side-combined hash aggregation —
+    no Window, no Sort: struct-max keeps one row of state per key."""
+    from cordon_spark import entry_queries as Q
+
+    df = Q.QUERIES["argmax_event"](spark, SF_DIR)
+    c = _counts(df)
+    assert c["shuffles"] == 1, c["plan"]
+    assert "Window" not in c["plan"], c["plan"]
+    assert "partial_max" in c["plan"], c["plan"]
+
+
+def test_cube_one_expand_one_exchange(spark):
+    """CUBE: all four grouping sets via ONE Expand feeding ONE
+    map-side-combined exchange — the expansion happens before the
+    partial agg, so the shuffle carries group totals only."""
+    from cordon_spark import entry_queries as Q
+
+    c = _counts(Q.QUERIES["cube_rollup"](spark, SF_DIR))
+    assert "Expand" in c["plan"], c["plan"]
+    assert c["shuffles"] == 1, c["plan"]
+    assert "partial_count" in c["plan"], c["plan"]
+
+
+def test_group_median_no_window_single_exchange(spark):
+    """Exact median per group: sort-based agg state inside the hash
+    aggregation — no Window, no global Sort, one exchange."""
+    from cordon_spark import entry_queries as Q
+
+    c = _counts(Q.QUERIES["group_median"](spark, SF_DIR))
+    assert c["shuffles"] == 1, c["plan"]
+    assert "Window" not in c["plan"], c["plan"]
+
+
+def test_pivot_explicit_values_single_exchange(spark):
+    """Pivot with an explicit value list: one hash agg on user_id —
+    no distinct-discovery pass, no extra exchange."""
+    from cordon_spark import entry_queries as Q
+
+    c = _counts(Q.QUERIES["pivot_event_counts"](spark, SF_DIR))
+    assert c["shuffles"] == 1, c["plan"]
