@@ -35,19 +35,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 
+_TIME = (T.DateType, T.TimestampType, T.TimestampNTZType)
 _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-    T.FloatType, T.DoubleType, T.DecimalType, T.DateType, T.TimestampType,
-)
+    T.FloatType, T.DoubleType, T.DecimalType,
+) + _TIME
 
 
 def _as_numeric(df: DataFrame, col: str) -> Column:
     """Numeric view of a column for quantile bucketing: numerics and
-    time types cast to double; anything else clusters by xxhash64
-    (equality locality only)."""
+    time types (incl. TIMESTAMP_NTZ — parquet's default in this repo's
+    fixtures; missing it would silently HASH timestamps and destroy
+    time-range locality) cast to double; anything else clusters by
+    xxhash64 (equality locality only)."""
     dt = df.schema[col].dataType
     c = F.col(col)
-    if isinstance(dt, (T.DateType, T.TimestampType)):
+    if isinstance(dt, _TIME):
         return c.cast("timestamp").cast("double")
     if isinstance(dt, _NUMERIC):
         return c.cast("double")

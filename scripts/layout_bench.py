@@ -58,12 +58,12 @@ def main() -> None:
     # probe sets: 20 users spread over the id range, 20 time windows
     users = [r[0] for r in ev.select("user_id").distinct().orderBy("user_id").collect()]
     probe_users = users[:: max(1, len(users) // 20)][:20]
-    tmin, tmax = ev.agg(
-        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
-    ).collect()[0]
+    # same numeric view file_locality uses: epoch SECONDS as double
+    sec = F.col("ts").cast("timestamp").cast("double")
+    tmin, tmax = ev.agg(F.min(sec), F.max(sec)).collect()[0]
     span = tmax - tmin
     probe_windows = [
-        (tmin + int(i / 20 * span), tmin + int(i / 20 * span) + span // 10)
+        (tmin + i / 20 * span, tmin + i / 20 * span + span / 10)
         for i in range(18)
     ]
 
