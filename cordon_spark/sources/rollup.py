@@ -29,7 +29,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cordon_spark.sources.catalog import SnapshotCatalog
 
-_REWRITE_OPS = {"compact", "cluster"}
+REWRITE_OPS = {"compact", "cluster"}
+_REWRITE_OPS = REWRITE_OPS  # back-compat alias
 
 
 class IncrementalRollup:
