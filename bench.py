@@ -156,6 +156,8 @@ def main() -> None:
         "tpch_order_priority",
         "tpch_parts_supplier",
         "rolling_metrics",
+        "funnel_steps",
+        "cohort_retention",
     ):
         timings[name] = min(
             _timed(lambda: Q.QUERIES[name](spark, sf_dir).collect())

@@ -2414,6 +2414,123 @@ FROM isl GROUP BY doc_id, isl
 """
 
 
+# ------------------------------------------------------------------ #
+# Log-pipeline analytics: funnel / cohort retention / Markov
+# transitions (operators/events.py) + TPC-H Q13 customer distribution
+# ------------------------------------------------------------------ #
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+def q_funnel_steps(spark, sf_dir):
+    ship_package(spark)
+    from cordon_spark.operators.events import funnel_steps
+
+    return funnel_steps(_events(spark, sf_dir), steps=FUNNEL_STEPS)
+
+
+# Chained running-min windows: step k's qualification time is the
+# first step-k event strictly after the running step k-1 time —
+# identical recurrence on both engines, all-integer output.
+SQL_FUNNEL_STEPS = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+w1 AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN us END)
+         OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q0 FROM e),
+w2 AS (SELECT *, min(CASE WHEN event_type = 'view' AND q0 IS NOT NULL AND us > q0 THEN us END)
+         OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q1 FROM w1),
+w3 AS (SELECT *, min(CASE WHEN event_type = 'click' AND q1 IS NOT NULL AND us > q1 THEN us END)
+         OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q2 FROM w2),
+w4 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND q2 IS NOT NULL AND us > q2 THEN us END)
+         OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q3 FROM w3),
+u AS (SELECT user_id,
+             max(q0 IS NOT NULL)::INT AS r0, max(q1 IS NOT NULL)::INT AS r1,
+             max(q2 IS NOT NULL)::INT AS r2, max(q3 IS NOT NULL)::INT AS r3
+      FROM w4 GROUP BY user_id)
+SELECT 1::BIGINT AS step, 'signup' AS step_name, sum(r0)::BIGINT AS users FROM u
+UNION ALL
+SELECT 2::BIGINT, 'view', sum(r1)::BIGINT FROM u
+UNION ALL
+SELECT 3::BIGINT, 'click', sum(r2)::BIGINT FROM u
+UNION ALL
+SELECT 4::BIGINT, 'purchase', sum(r3)::BIGINT FROM u
+"""
+
+
+def q_cohort_retention(spark, sf_dir):
+    ship_package(spark)
+    from cordon_spark.operators.events import cohort_retention
+
+    return cohort_retention(_events(spark, sf_dir))
+
+
+SQL_COHORT_RETENTION = """
+WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_index FROM events),
+f AS (SELECT user_id, min(day_index) AS cohort_day FROM e GROUP BY user_id)
+SELECT f.cohort_day, e.day_index - f.cohort_day AS day_offset,
+       count(DISTINCT e.user_id)::BIGINT AS active_users
+FROM e JOIN f USING (user_id)
+GROUP BY f.cohort_day, day_offset
+"""
+
+
+def q_event_transitions(spark, sf_dir):
+    ship_package(spark)
+    from cordon_spark.operators.events import event_transitions
+
+    return event_transitions(_events(spark, sf_dir))
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH p AS (SELECT event_type AS src_type,
+                  lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS dst_type
+           FROM events),
+c AS (SELECT src_type, dst_type, count(*)::BIGINT AS n
+      FROM p WHERE dst_type IS NOT NULL GROUP BY src_type, dst_type)
+SELECT src_type, dst_type, n,
+       floor((n::DOUBLE / sum(n) OVER (PARTITION BY src_type)::DOUBLE) * 10000 + 0.5)::BIGINT AS prob_e4
+FROM c
+"""
+
+
+def q_tpch_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: customer order-count distribution through a
+    LEFT OUTER join — the null-preserving side of the join zoo (Q3/Q5
+    inner, Q4 semi, Q16 anti, Q18 agg-probe, this outer).
+
+    Plan: the priority predicate filters orders BEFORE the join (the
+    Q13 rewrite of its comment NOT LIKE); the outer join shuffles both
+    sides on custkey once; both downstream aggs are map-side-combined
+    hash aggs over ever-shrinking frames (|customers| rows, then
+    |distinct counts| rows)."""
+    ship_package(spark)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .select(F.col("c_count").cast("long").alias("c_count"), "custdist")
+    )
+
+
+SQL_TPCH_CUSTOMER_DISTRIBUTION = """
+WITH pc AS (SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+            FROM customer c LEFT OUTER JOIN orders o
+              ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey)
+SELECT c_count, count(*)::BIGINT AS custdist FROM pc GROUP BY c_count
+"""
+
+
 QUERIES = {
     "window_segment": q_window_segment,
     "knn_score": q_knn_score,
@@ -2479,6 +2596,10 @@ QUERIES = {
     "cube_rollup": q_cube_rollup,
     "group_median": q_group_median,
     "pivot_event_counts": q_pivot_event_counts,
+    "funnel_steps": q_funnel_steps,
+    "cohort_retention": q_cohort_retention,
+    "event_transitions": q_event_transitions,
+    "tpch_customer_distribution": q_tpch_customer_distribution,
 }
 
 ORACLE_SQL = {
@@ -2552,4 +2673,8 @@ ORACLE_SQL = {
     "cube_rollup": SQL_CUBE_ROLLUP,
     "group_median": SQL_GROUP_MEDIAN,
     "pivot_event_counts": SQL_PIVOT_EVENT_COUNTS,
+    "funnel_steps": SQL_FUNNEL_STEPS,
+    "cohort_retention": SQL_COHORT_RETENTION,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
+    "tpch_customer_distribution": SQL_TPCH_CUSTOMER_DISTRIBUTION,
 }

@@ -1,0 +1,229 @@
+"""Event-analytics scale run: sessionize + funnel + cohort retention +
+Markov transitions at >=32M events on the real standalone cluster —
+the north-rule two-cluster-size legs for the log-pipeline operator
+family (the pipeline, dedup chain and ANN serving each already carry
+their own measured legs in BENCH.md).
+
+The corpus is synthesized deterministically with KNOWN structure, so
+every trial verifies exact outputs while it times the operators —
+correctness travels with the scale evidence:
+
+  * user u's events run every 10 minutes from a per-user start; users
+    with u % 3 == 0 get one > 30-minute gap injected mid-stream, so the
+    exact session count is n_users + n_users/3;
+  * the type sequence is signup, view, click, purchase, view... with
+    users u % 5 == 0 skipping the click — the funnel must count exactly
+    (U, U, U - U/5, U - U/5) users per step (purchase only qualifies
+    after a qualified click);
+  * user u's first day is base + (u % 7) and every event of u lands on
+    that same day, so cohort retention must emit ONLY day_offset 0 with
+    sum(active_users) == n_users across the 7 cohorts;
+  * transitions must total exactly n_users * (events_per_user - 1).
+
+Usage: python scripts/events_scale_bench.py  (env: EVENTS_N_USERS,
+EVENTS_PER_USER, SCALE_EXEC_CORES=2, EVENTS_LEGS=1,4,
+EVENTS_TRIALS=2). Appends a section to BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+SPARK_HOME = os.environ.get("SPARK_HOME", "/opt/spark")
+MASTER_URL = "spark://127.0.0.1:7077"
+CACHE = "/tmp/cordon_bench"
+
+GAP_SEQ = 10  # the injected >30min gap precedes this seq for u%3==0
+BASE_DAY = 20454  # 2026-01-01 in epoch days
+
+
+def events_path(n_users: int, per_user: int, seed: int = 7) -> str:
+    """Deterministic events with planted session/funnel/cohort/transition
+    structure (docstring above); 64 part files so every core scans."""
+    path = f"{CACHE}/events_{n_users}x{per_user}_{seed}"
+    if os.path.exists(f"{path}/_DONE"):
+        return path
+    import numpy as np
+    import pandas as pd
+
+    from cordon_spark.datagen import write_parquet
+
+    os.makedirs(path, exist_ok=True)
+    types = np.array(["signup", "view", "click", "purchase", "view"])
+    n_files = 64
+    step = (n_users + n_files - 1) // n_files
+    for f in range(n_files):
+        lo, hi = f * step, min((f + 1) * step, n_users)
+        if lo >= hi:
+            continue
+        u = np.repeat(np.arange(lo, hi, dtype=np.int64), per_user)
+        seq = np.tile(np.arange(per_user, dtype=np.int64), hi - lo)
+        # day base + 1h, staggered per user, 10min cadence
+        ts_us = (
+            (BASE_DAY + u % 7) * 86_400_000_000
+            + 3_600_000_000
+            + u * 1_000
+            + seq * 600_000_000
+        )
+        # the planted session break: one 1h extra gap mid-stream
+        ts_us = ts_us + ((u % 3 == 0) & (seq >= GAP_SEQ)) * 3_600_000_000
+        ev_type = types[np.minimum(seq, 4)]
+        # u % 5 == 0 never clicks (their seq-2 slot becomes a view)
+        ev_type = np.where((seq == 2) & (u % 5 == 0), "view", ev_type)
+        write_parquet(
+            pd.DataFrame(
+                {
+                    "event_id": u * per_user + seq,
+                    "ts": pd.to_datetime(ts_us, unit="us"),
+                    "user_id": u,
+                    "event_type": ev_type,
+                    "value": (seq % 10) * 0.5,
+                }
+            ),
+            f"{path}/part-{f:04d}.parquet",
+        )
+    open(f"{path}/_DONE", "w").write("ok")
+    return path
+
+
+LEG_CODE = '''
+import sys, time, json
+sys.path.insert(0, "{root}")
+from pyspark.sql import functions as F
+from cordon_spark.session import get_spark
+from cordon_spark.operators.events import (
+    sessionize, funnel_steps, cohort_retention, event_transitions)
+
+spark = get_spark("events_scale_leg", master="{master}", shuffle_partitions={parts},
+  extra_conf={{"spark.executor.cores": "{exec_cores}", "spark.cores.max": "{cores_max}",
+              "spark.executor.memory": "8g", "spark.pyspark.python": sys.executable}})
+ev = spark.read.parquet("{data}")
+n_events = ev.count()
+n_users = {n_users}
+per_user = {per_user}
+
+# warmup: full chain on a ~3% user slice (python workers + page cache)
+w = ev.filter(F.col("user_id") % 32 == 0)
+sessionize(w).count(); funnel_steps(w).count()
+cohort_retention(w).count(); event_transitions(w).count()
+
+best = None
+for _trial in range({trials}):
+    t0 = time.perf_counter()
+    n_sessions = sessionize(ev).count()
+    t_sess = time.perf_counter() - t0
+    funnel = {{r["step_name"]: r["users"] for r in funnel_steps(ev).collect()}}
+    t_funnel = time.perf_counter() - t0 - t_sess
+    coh = cohort_retention(ev).agg(
+        F.max("day_offset").alias("max_off"),
+        F.sum(F.when(F.col("day_offset") == 0, F.col("active_users"))).alias("day0"),
+        F.count(F.lit(1)).alias("rows")).collect()[0]
+    t_cohort = time.perf_counter() - t0 - t_sess - t_funnel
+    n_trans = event_transitions(ev).agg(F.sum("n").alias("s")).collect()[0]["s"]
+    t_trans = time.perf_counter() - t0 - t_sess - t_funnel - t_cohort
+    total = time.perf_counter() - t0
+    # exact planted-structure verification, every trial
+    u5 = (n_users + 4) // 5  # users skipping click
+    ok = (
+        n_sessions == n_users + (n_users + 2) // 3
+        and funnel == {{"signup": n_users, "view": n_users,
+                        "click": n_users - u5, "purchase": n_users - u5}}
+        and coh["max_off"] == 0 and coh["day0"] == n_users and coh["rows"] == 7
+        and n_trans == n_users * (per_user - 1)
+    )
+    if best is None or total < best["sec_total"]:
+        best = {{"sec_sessionize": t_sess, "sec_funnel": t_funnel,
+                 "sec_cohort": t_cohort, "sec_transitions": t_trans,
+                 "sec_total": total, "structure_ok": ok,
+                 "n_sessions": n_sessions, "funnel": funnel}}
+print("LEG_RESULT " + json.dumps(dict(best, n_events=n_events,
+      events_per_sec=n_events * 4 / best["sec_total"])))
+'''
+
+
+def run_leg(data: str, exec_cores: int, n_execs: int, n_users: int, per_user: int) -> dict:
+    from cordon_spark.session import package_zip
+
+    cores_max = exec_cores * n_execs
+    trials = int(os.environ.get("EVENTS_TRIALS", "2"))
+    code = LEG_CODE.format(
+        root=ROOT, master=MASTER_URL, parts=max(cores_max * 4, 32),
+        exec_cores=exec_cores, cores_max=cores_max, data=data, trials=trials,
+        n_users=n_users, per_user=per_user,
+    )
+    driver = Path("/tmp/events_scale_leg.py")
+    driver.write_text(code)
+    out = subprocess.run(
+        [f"{SPARK_HOME}/bin/spark-submit", "--master", MASTER_URL,
+         "--py-files", package_zip(), str(driver)],
+        capture_output=True, text=True, timeout=3600, cwd=str(ROOT),
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("LEG_RESULT ")]
+    if not lines:
+        sys.stderr.write(out.stdout[-1500:] + "\n" + out.stderr[-3000:])
+        raise RuntimeError(f"events leg failed ({n_execs} executors)")
+    return json.loads(lines[-1][len("LEG_RESULT "):])
+
+
+def main() -> None:
+    from scripts.scaling_bench import start_cluster, stop_cluster
+
+    n_users = int(os.environ.get("EVENTS_N_USERS", "1600000"))
+    per_user = int(os.environ.get("EVENTS_PER_USER", "20"))
+    exec_cores = int(os.environ.get("SCALE_EXEC_CORES", "2"))
+    legs = [int(x) for x in os.environ.get("EVENTS_LEGS", "1,4").split(",")]
+    data = events_path(n_users, per_user)
+    start_cluster()
+    results = {}
+    try:
+        for n_execs in legs:
+            results[n_execs] = run_leg(data, exec_cores, n_execs, n_users, per_user)
+    finally:
+        stop_cluster()
+
+    lines = [
+        "",
+        f"## Event analytics at {n_users * per_user:,} events, "
+        f"{time.strftime('%Y-%m-%d %H:%M')}",
+        "",
+        "sessionize + funnel_steps + cohort_retention + event_transitions",
+        "on the standalone cluster via spark-submit --py-files; planted",
+        "session/funnel/cohort/transition structure verified EXACTLY inside",
+        "the timed job (scripts/events_scale_bench.py). events/s is the",
+        "4-operator suite rate (4 x n_events / total):",
+        "",
+        "| cluster size | sessionize s | funnel s | cohort s | transitions s | total s | events/s | structure |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for n_execs, r in results.items():
+        lines.append(
+            f"| {n_execs} executor(s) x {exec_cores} cores "
+            f"| {r['sec_sessionize']:.1f} | {r['sec_funnel']:.1f} "
+            f"| {r['sec_cohort']:.1f} | {r['sec_transitions']:.1f} "
+            f"| {r['sec_total']:.1f} | {r['events_per_sec']:,.0f} "
+            f"| {'PASS' if r['structure_ok'] else 'FAIL'} |"
+        )
+    if len(results) >= 2:
+        ks = sorted(results)
+        eff = (
+            results[ks[-1]]["events_per_sec"] / results[ks[0]]["events_per_sec"]
+        ) / (ks[-1] / ks[0])
+        lines += ["", f"Scaling efficiency {ks[0]} -> {ks[-1]} executors: "
+                      f"**{eff:.3f}**"]
+    lines += ["", "```json", json.dumps(results), "```",
+              "", f"Generated {time.strftime('%Y-%m-%d %H:%M:%S')}."]
+    with open(ROOT / "BENCH.md", "a") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

@@ -4,6 +4,9 @@ from pyspark.sql import functions as F
 
 from cordon_spark.operators.events import (
     asof_join,
+    cohort_retention,
+    event_transitions,
+    funnel_steps,
     hierarchical_rollup,
     hopping_window_rollup,
 )
@@ -86,3 +89,84 @@ def test_hopping_window_rollup(spark):
     base = {r.window_start_us: r.n for r in rows}
     epoch_2026 = 1767225600 * 1_000_000  # 2026-01-01 00:00:00 UTC in us
     assert base[epoch_2026] == 2
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_funnel_steps_order_matters(spark):
+    """A step only counts when it happens STRICTLY AFTER the user's
+    qualified previous step: u1 completes all 4 in order; u2 clicks
+    BEFORE viewing (click must not count); u3 never signs up (nothing
+    counts even though all later steps occur)."""
+    ev = _ev(spark, [
+        (1, "2026-01-01 00:00:00", 1, "signup", 0.0),
+        (2, "2026-01-01 00:01:00", 1, "view", 0.0),
+        (3, "2026-01-01 00:02:00", 1, "click", 0.0),
+        (4, "2026-01-01 00:03:00", 1, "purchase", 0.0),
+        (5, "2026-01-01 00:00:00", 2, "signup", 0.0),
+        (6, "2026-01-01 00:01:00", 2, "click", 0.0),
+        (7, "2026-01-01 00:02:00", 2, "view", 0.0),
+        (8, "2026-01-01 00:00:00", 3, "view", 0.0),
+        (9, "2026-01-01 00:01:00", 3, "click", 0.0),
+        (10, "2026-01-01 00:02:00", 3, "purchase", 0.0),
+    ])
+    got = {r.step_name: r.users for r in funnel_steps(ev).collect()}
+    assert got == {"signup": 2, "view": 2, "click": 1, "purchase": 1}
+
+
+def test_funnel_steps_retry_after_failed_order(spark):
+    """An out-of-order attempt doesn't burn the step: u2's early click
+    is ignored but a LATER click (after the view) qualifies."""
+    ev = _ev(spark, [
+        (1, "2026-01-01 00:00:00", 2, "signup", 0.0),
+        (2, "2026-01-01 00:01:00", 2, "click", 0.0),
+        (3, "2026-01-01 00:02:00", 2, "view", 0.0),
+        (4, "2026-01-01 00:03:00", 2, "click", 0.0),
+    ])
+    got = {r.step_name: r.users for r in funnel_steps(ev).collect()}
+    assert got == {"signup": 1, "view": 1, "click": 1, "purchase": 0}
+
+
+def test_funnel_single_shuffle_plan(spark):
+    """All funnel depth rides ONE sorted pass: exactly one Sort (one
+    window exchange) regardless of the number of steps."""
+    ev = _ev(spark, [(1, "2026-01-01 00:00:00", 1, "signup", 0.0)])
+    plan = funnel_steps(ev)._jdf.queryExecution().executedPlan().toString()
+    import re
+    assert len(re.findall(r"\bSort\b", plan)) == 1
+    assert len(re.findall(r"\bWindow\b", plan)) == 4
+
+
+def test_cohort_retention_triangle(spark):
+    ev = _ev(spark, [
+        (1, "2026-01-01 10:00:00", 1, "view", 0.0),   # u1 cohort day d
+        (2, "2026-01-02 10:00:00", 1, "view", 0.0),   # active d+1
+        (3, "2026-01-02 11:00:00", 1, "view", 0.0),   # same day, once
+        (4, "2026-01-02 10:00:00", 2, "view", 0.0),   # u2 cohort d+1
+    ])
+    rows = {(r.cohort_day, r.day_offset): r.active_users
+            for r in cohort_retention(ev).collect()}
+    d = 20454  # 2026-01-01 epoch days
+    assert rows == {(d, 0): 1, (d, 1): 1, (d + 1, 0): 1}
+
+
+def test_event_transitions_counts_and_prob(spark):
+    ev = _ev(spark, [
+        (1, "2026-01-01 00:00:00", 1, "view", 0.0),
+        (2, "2026-01-01 00:01:00", 1, "click", 0.0),
+        (3, "2026-01-01 00:02:00", 1, "view", 0.0),
+        (4, "2026-01-01 00:03:00", 1, "view", 0.0),
+        # user boundary: u2's first event must NOT chain from u1's last
+        (5, "2026-01-01 00:04:00", 2, "purchase", 0.0),
+    ])
+    rows = {(r.src_type, r.dst_type): (r.n, r.prob_e4)
+            for r in event_transitions(ev).collect()}
+    assert rows == {
+        ("view", "click"): (1, 5000),
+        ("view", "view"): (1, 5000),
+        ("click", "view"): (1, 10000),
+    }
