@@ -346,3 +346,40 @@ def test_pivot_explicit_values_single_exchange(spark):
 
     c = _counts(Q.QUERIES["pivot_event_counts"](spark, SF_DIR))
     assert c["shuffles"] == 1, c["plan"]
+
+
+def test_funnel_one_sort_all_windows(spark):
+    """Funnel depth rides ONE sorted exchange: k stacked Window ops,
+    one Sort, and exactly the user-key + single-partition aggregate
+    exchanges — never a per-step self-join over the event log."""
+    from cordon_spark import entry_queries as Q
+
+    c = _counts(Q.QUERIES["funnel_steps"](spark, SF_DIR))
+    assert "Join" not in c["plan"]
+    import re
+    assert len(re.findall(r"\bSort\b", c["plan"])) == 1
+    assert len(re.findall(r"\bWindow\b", c["plan"])) == 4
+
+
+def test_cohort_retention_shared_key_shuffle(spark):
+    """first-seen min-agg and the join back both key on user_id: the
+    join must be a sort-merge/shuffle join reusing that partitioning
+    (no broadcast needed, but also no third exchange family), and the
+    final agg is the only additional exchange."""
+    from cordon_spark import entry_queries as Q
+
+    c = _counts(Q.QUERIES["cohort_retention"](spark, SF_DIR))
+    # user-key exchanges (agg + join sides collapse under reuse) plus
+    # the final (cohort_day, offset) agg and countDistinct expand:
+    # anything > 4 means the shared partitioning broke
+    assert c["shuffles"] <= 4, c["plan"]
+
+
+def test_tpch_q13_filter_before_outer_join(spark):
+    """The priority predicate must reach the orders parquet scan as a
+    pushed filter (the Q13 rewrite), not run post-join where the outer
+    join would have carried every order row."""
+    from cordon_spark import entry_queries as Q
+
+    c = _counts(Q.QUERIES["tpch_customer_distribution"](spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(o_orderpriority), Not(EqualTo(o_orderpriority" in c["plan"], c["plan"]
