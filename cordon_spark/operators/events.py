@@ -177,13 +177,16 @@ def funnel_steps(
     the user key regardless of funnel depth, never a per-step self-join
     over the event log. The per-user reduction and the final 4-row
     aggregate are map-side-combined hash aggs."""
+    # Order by the derived microsecond long, not the source timestamp:
+    # carrying ts only for ordering would push an extra 8 bytes/row
+    # through the window exchange (us is order-equivalent to ts).
     w = (
         W.partitionBy(user_col)
-        .orderBy(F.col(ts_col), F.col("event_id"))
+        .orderBy(F.col("_us"), F.col("event_id"))
         .rowsBetween(W.unboundedPreceding, 0)
     )
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    df = events.select(user_col, us.alias("_us"), "event_type", "event_id", ts_col)
+    df = events.select(user_col, us.alias("_us"), "event_type", "event_id")
     prev = None
     qcols = []
     for i, step in enumerate(steps):
