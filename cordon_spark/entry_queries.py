@@ -2495,6 +2495,41 @@ FROM c
 """
 
 
+def q_fill_gaps(spark, sf_dir):
+    ship_package(spark)
+    from cordon_spark.operators.events import fill_gaps
+
+    return fill_gaps(_events(spark, sf_dir))
+
+
+SQL_FILL_GAPS = """
+WITH c AS (SELECT user_id, epoch_us(ts) // 86400000000 AS bucket, count(*)::BIGINT AS n
+           FROM events GROUP BY user_id, bucket),
+s AS (SELECT user_id, unnest(generate_series(min(bucket), max(bucket))) AS bucket
+      FROM c GROUP BY user_id)
+SELECT s.user_id, s.bucket, coalesce(c.n, 0)::BIGINT AS n
+FROM s LEFT JOIN c ON c.user_id = s.user_id AND c.bucket = s.bucket
+"""
+
+
+def q_last_touch_attribution(spark, sf_dir):
+    ship_package(spark)
+    from cordon_spark.operators.events import last_touch_attribution
+
+    return last_touch_attribution(_events(spark, sf_dir))
+
+
+SQL_LAST_TOUCH_ATTRIBUTION = """
+WITH t AS (SELECT event_type,
+                  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type
+           FROM events)
+SELECT touch_type, count(*)::BIGINT AS conversions
+FROM t WHERE event_type = 'purchase' GROUP BY touch_type
+"""
+
+
 def q_tpch_customer_distribution(spark, sf_dir):
     """TPC-H Q13 shape: customer order-count distribution through a
     LEFT OUTER join — the null-preserving side of the join zoo (Q3/Q5
@@ -2600,6 +2635,8 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "event_transitions": q_event_transitions,
     "tpch_customer_distribution": q_tpch_customer_distribution,
+    "fill_gaps": q_fill_gaps,
+    "last_touch_attribution": q_last_touch_attribution,
 }
 
 ORACLE_SQL = {
@@ -2677,4 +2714,6 @@ ORACLE_SQL = {
     "cohort_retention": SQL_COHORT_RETENTION,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "tpch_customer_distribution": SQL_TPCH_CUSTOMER_DISTRIBUTION,
+    "fill_gaps": SQL_FILL_GAPS,
+    "last_touch_attribution": SQL_LAST_TOUCH_ATTRIBUTION,
 }

@@ -276,6 +276,76 @@ def event_transitions(
     )
 
 
+def fill_gaps(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_seconds: int = 86_400,
+) -> DataFrame:
+    """Time-series densification: one row per (user, bucket) for EVERY
+    bucket in the user's [first, last] span, zero-filled where no event
+    landed — the gap-filling step before any rolling/interpolation
+    metric over sparse telemetry.
+
+    Scale shape: the per-(user, bucket) count is one map-side-combined
+    hash agg; spans derive from THAT (|users x active buckets| rows,
+    not the event log); sequence+explode materializes each user's dense
+    axis (the output's own cardinality — inherent to densification, not
+    overhead); the final left join keys on (user, bucket) against the
+    already-aggregated counts. Nothing touches the raw log twice."""
+    bucket = (
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        / F.lit(bucket_seconds * 1_000_000)
+    ).cast("long")
+    counts = (
+        events.select(F.col(user_col), bucket.alias("bucket"))
+        .groupBy(user_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dense = (
+        counts.groupBy(user_col)
+        .agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
+        .select(
+            F.col(user_col),
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("bucket"),
+        )
+    )
+    return dense.join(counts, [user_col, "bucket"], "left").select(
+        user_col, "bucket", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n")
+    )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Last-touch attribution: each conversion event credits the most
+    recent STRICTLY-preceding non-conversion event of the same user.
+    Output: (touch_type, conversions) with NULL touch_type collecting
+    conversions that had no preceding touch.
+
+    One keyed window (last ignorenulls over rows [unbounded, -1]) plus
+    one tiny hash agg — the as-of pattern without a join, since both
+    sides live in the same stream."""
+    w = (
+        W.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col("event_id"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != conversion_type, F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        events.withColumn("touch_type", touch)
+        .filter(F.col("event_type") == conversion_type)
+        .groupBy("touch_type")
+        .agg(F.count(F.lit(1)).alias("conversions"))
+    )
+
+
 def hopping_window_rollup(
     events: DataFrame,
     window_seconds: int = 3600,

@@ -170,3 +170,39 @@ def test_event_transitions_counts_and_prob(spark):
         ("view", "view"): (1, 5000),
         ("click", "view"): (1, 10000),
     }
+
+
+def test_fill_gaps_densifies_span(spark):
+    """u1 active on days d and d+3: buckets d+1, d+2 appear zero-filled;
+    nothing outside the user's own [first, last] span."""
+    from cordon_spark.operators.events import fill_gaps
+    ev = _ev(spark, [
+        (1, "2026-01-01 10:00:00", 1, "view", 0.0),
+        (2, "2026-01-01 11:00:00", 1, "view", 0.0),
+        (3, "2026-01-04 10:00:00", 1, "view", 0.0),
+        (4, "2026-01-02 10:00:00", 2, "view", 0.0),
+    ])
+    rows = {(r.user_id, r.bucket): r.n for r in fill_gaps(ev).collect()}
+    d = 20454  # 2026-01-01 epoch days
+    assert rows == {
+        (1, d): 2, (1, d + 1): 0, (1, d + 2): 0, (1, d + 3): 1,
+        (2, d + 1): 1,
+    }
+
+
+def test_last_touch_attribution_credits_preceding_touch(spark):
+    """u1's purchase credits the most recent prior non-conversion
+    (click); u2's purchase has no prior touch -> NULL bucket; a
+    purchase immediately after another purchase still skips conversion
+    events when looking back."""
+    from cordon_spark.operators.events import last_touch_attribution
+    ev = _ev(spark, [
+        (1, "2026-01-01 00:00:00", 1, "view", 0.0),
+        (2, "2026-01-01 00:01:00", 1, "click", 0.0),
+        (3, "2026-01-01 00:02:00", 1, "purchase", 0.0),
+        (4, "2026-01-01 00:03:00", 1, "purchase", 0.0),  # still credits click
+        (5, "2026-01-01 00:00:00", 2, "purchase", 0.0),  # no prior touch
+    ])
+    rows = {r.touch_type: r.conversions
+            for r in last_touch_attribution(ev).collect()}
+    assert rows == {"click": 2, None: 1}
