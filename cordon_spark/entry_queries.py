@@ -2512,6 +2512,46 @@ FROM s LEFT JOIN c ON c.user_id = s.user_id AND c.bucket = s.bucket
 """
 
 
+def q_interpolate_gaps(spark, sf_dir):
+    ship_package(spark)
+    from cordon_spark.operators.events import interpolate_gaps
+
+    out = interpolate_gaps(_events(spark, sf_dir))
+    return out.select(
+        "user_id", "bucket", r4l(F.col("v"), "v_e4"), "observed"
+    )
+
+
+SQL_INTERPOLATE_GAPS = """
+WITH b AS (SELECT user_id, epoch_us(ts) // 86400000000 AS bucket,
+                  sum(value::DECIMAL(20,6))::DOUBLE / count(*)::DOUBLE AS v
+           FROM events GROUP BY user_id, bucket),
+s AS (SELECT user_id, unnest(generate_series(min(bucket), max(bucket))) AS bucket
+      FROM b GROUP BY user_id),
+j AS (SELECT s.user_id, s.bucket, b.v FROM s LEFT JOIN b USING (user_id, bucket)),
+w AS (SELECT user_id, bucket, v,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+             first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY bucket
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+      FROM j)
+SELECT user_id, bucket,
+       floor((CASE WHEN v IS NOT NULL THEN v
+                   WHEN pv IS NULL THEN nv
+                   WHEN nv IS NULL THEN pv
+                   ELSE pv + (nv - pv) * ((bucket - pb)::DOUBLE / (nb - pb)::DOUBLE)
+              END) * 10000 + 0.5)::BIGINT AS v_e4,
+       (v IS NOT NULL) AS observed
+FROM w
+"""
+
+
 def q_last_touch_attribution(spark, sf_dir):
     ship_package(spark)
     from cordon_spark.operators.events import last_touch_attribution
@@ -2637,6 +2677,7 @@ QUERIES = {
     "tpch_customer_distribution": q_tpch_customer_distribution,
     "fill_gaps": q_fill_gaps,
     "last_touch_attribution": q_last_touch_attribution,
+    "interpolate_gaps": q_interpolate_gaps,
 }
 
 ORACLE_SQL = {
@@ -2716,4 +2757,5 @@ ORACLE_SQL = {
     "tpch_customer_distribution": SQL_TPCH_CUSTOMER_DISTRIBUTION,
     "fill_gaps": SQL_FILL_GAPS,
     "last_touch_attribution": SQL_LAST_TOUCH_ATTRIBUTION,
+    "interpolate_gaps": SQL_INTERPOLATE_GAPS,
 }

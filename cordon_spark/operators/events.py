@@ -315,6 +315,80 @@ def fill_gaps(
     )
 
 
+def interpolate_gaps(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_seconds: int = 86_400,
+) -> DataFrame:
+    """Gap filling WITH linear interpolation: densify each user's
+    bucket axis (fill_gaps) carrying the bucket-mean of `value_col`,
+    then fill missing buckets by interpolating between the nearest
+    observed neighbours (edges extend flat). Output column `v` is the
+    filled series; `observed` marks real buckets.
+
+    One (user, bucket) exchange carries BOTH window directions — the
+    backward last-ignorenulls and the forward first-ignorenulls share
+    the ascending sort (a following-rows frame needs no second sort),
+    so interpolation costs the densified cardinality plus exactly one
+    shuffle beyond fill_gaps' own. The a+(b-a)*frac arithmetic is a
+    fixed IEEE op sequence — engines agree bitwise."""
+    bucket = (
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        / F.lit(bucket_seconds * 1_000_000)
+    ).cast("long")
+    # bucket mean via decimal sum / count: a plain double avg is
+    # accumulation-order-dependent in the last ulp across partitionings;
+    # this spelling is one exact decimal sum + one IEEE division.
+    base = (
+        events.select(F.col(user_col), bucket.alias("bucket"), F.col(value_col))
+        .groupBy(user_col, "bucket")
+        .agg(
+            (
+                F.sum(F.col(value_col).cast("decimal(20,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("_v")
+        )
+    )
+    dense = (
+        base.groupBy(user_col)
+        .agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
+        .select(
+            F.col(user_col),
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("bucket"),
+        )
+    )
+    joined = dense.join(base, [user_col, "bucket"], "left")
+    wb = (
+        W.partitionBy(user_col)
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wf = (
+        W.partitionBy(user_col)
+        .orderBy("bucket")
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    prev_v = F.last("_v", ignorenulls=True).over(wb)
+    prev_b = F.last(F.when(F.col("_v").isNotNull(), F.col("bucket")), ignorenulls=True).over(wb)
+    next_v = F.first("_v", ignorenulls=True).over(wf)
+    next_b = F.first(F.when(F.col("_v").isNotNull(), F.col("bucket")), ignorenulls=True).over(wf)
+    frac = (F.col("bucket") - prev_b).cast("double") / (next_b - prev_b).cast("double")
+    filled = (
+        F.when(F.col("_v").isNotNull(), F.col("_v"))
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+    return joined.select(
+        user_col,
+        "bucket",
+        filled.alias("v"),
+        F.col("_v").isNotNull().alias("observed"),
+    )
+
+
 def last_touch_attribution(
     events: DataFrame,
     conversion_type: str = "purchase",

@@ -206,3 +206,23 @@ def test_last_touch_attribution_credits_preceding_touch(spark):
     rows = {r.touch_type: r.conversions
             for r in last_touch_attribution(ev).collect()}
     assert rows == {"click": 2, None: 1}
+
+
+def test_interpolate_gaps_linear_and_edges(spark):
+    """u1 observes 2.0 at day d and 8.0 at d+3: gap days interpolate to
+    4.0 and 6.0; leading/trailing edges extend flat (u2)."""
+    from cordon_spark.operators.events import interpolate_gaps
+    ev = _ev(spark, [
+        (1, "2026-01-01 10:00:00", 1, "view", 1.0),
+        (2, "2026-01-01 11:00:00", 1, "view", 3.0),   # day d mean 2.0
+        (3, "2026-01-04 10:00:00", 1, "view", 8.0),
+        (4, "2026-01-02 10:00:00", 2, "view", 5.0),
+    ])
+    rows = {(r.user_id, r.bucket): (r.v, r.observed)
+            for r in interpolate_gaps(ev).collect()}
+    d = 20454
+    assert rows == {
+        (1, d): (2.0, True), (1, d + 1): (4.0, False),
+        (1, d + 2): (6.0, False), (1, d + 3): (8.0, True),
+        (2, d + 1): (5.0, True),
+    }
