@@ -71,11 +71,8 @@ def time_window_rollup(
 ) -> DataFrame:
     """Tumbling time-window counts + sums per event type (batch analog
     of the streaming windowed_anomaly_counts)."""
-    bucket = (F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(window_seconds * 1_000_000)).cast(
-        "long"
-    )
     return events.groupBy(
-        bucket.alias("window_id"), "event_type"
+        _time_bucket(ts_col, window_seconds).alias("window_id"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n"),
         # Decimal sum: order-independent across partitionings (see sessionize).
@@ -144,12 +141,8 @@ def hierarchical_rollup(
     plans a single Expand + hash aggregate (map-side combined), not
     three scans. grouping_id disambiguates a NULL data value from a
     rolled-up level. Decimal value sums: order-independent."""
-    bucket = (
-        F.unix_micros(F.col(ts_col).cast("timestamp"))
-        / F.lit(bucket_seconds * 1_000_000)
-    ).cast("long")
     return (
-        events.withColumn("bucket", bucket)
+        events.withColumn("bucket", _time_bucket(ts_col, bucket_seconds))
         .rollup("bucket", group_col)
         .agg(
             F.grouping_id().cast("long").alias("gid"),
@@ -226,10 +219,9 @@ def cohort_retention(
     agg (same shuffle key), and the final countDistinct is a two-phase
     hash agg. Nothing is driver-side; cohort x offset output is tiny
     relative to the input."""
-    day = (F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(86_400_000_000)).cast(
-        "long"
+    e = events.select(
+        F.col(user_col), _time_bucket(ts_col, 86_400).alias("day_index")
     )
-    e = events.select(F.col(user_col), day.alias("day_index"))
     first = e.groupBy(user_col).agg(F.min("day_index").alias("cohort_day"))
     return (
         e.join(first, user_col)
@@ -276,6 +268,36 @@ def event_transitions(
     )
 
 
+def _time_bucket(ts_col: str, bucket_seconds: int):
+    """Epoch bucket index with FLOOR semantics (matches SQL integer
+    `//`): a plain cast('long') truncates toward zero, which merges the
+    first pre-epoch bucket with bucket 0 for pre-1970 timestamps."""
+    return F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        / F.lit(bucket_seconds * 1_000_000)
+    ).cast("long")
+
+
+def _densify(per_bucket: DataFrame, user_col: str) -> DataFrame:
+    """Shared densification skeleton: given a per-(user, bucket)
+    aggregate, emit one row per bucket of each user's [first, last]
+    span, left-joined back so gap buckets carry NULL aggregates.
+
+    Scale shape: spans derive from the AGGREGATE (|users x active
+    buckets| rows, not the event log); sequence+explode materializes
+    each user's dense axis — the output's own cardinality, inherent to
+    densification; the left join keys on (user, bucket)."""
+    dense = (
+        per_bucket.groupBy(user_col)
+        .agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
+        .select(
+            F.col(user_col),
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("bucket"),
+        )
+    )
+    return dense.join(per_bucket, [user_col, "bucket"], "left")
+
+
 def fill_gaps(
     events: DataFrame,
     user_col: str = "user_id",
@@ -287,30 +309,16 @@ def fill_gaps(
     landed — the gap-filling step before any rolling/interpolation
     metric over sparse telemetry.
 
-    Scale shape: the per-(user, bucket) count is one map-side-combined
-    hash agg; spans derive from THAT (|users x active buckets| rows,
-    not the event log); sequence+explode materializes each user's dense
-    axis (the output's own cardinality — inherent to densification, not
-    overhead); the final left join keys on (user, bucket) against the
-    already-aggregated counts. Nothing touches the raw log twice."""
-    bucket = (
-        F.unix_micros(F.col(ts_col).cast("timestamp"))
-        / F.lit(bucket_seconds * 1_000_000)
-    ).cast("long")
+    Scale shape: one map-side-combined hash agg + the _densify skeleton;
+    nothing touches the raw log twice."""
     counts = (
-        events.select(F.col(user_col), bucket.alias("bucket"))
+        events.select(
+            F.col(user_col), _time_bucket(ts_col, bucket_seconds).alias("bucket")
+        )
         .groupBy(user_col, "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    dense = (
-        counts.groupBy(user_col)
-        .agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
-        .select(
-            F.col(user_col),
-            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("bucket"),
-        )
-    )
-    return dense.join(counts, [user_col, "bucket"], "left").select(
+    return _densify(counts, user_col).select(
         user_col, "bucket", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n")
     )
 
@@ -334,15 +342,15 @@ def interpolate_gaps(
     so interpolation costs the densified cardinality plus exactly one
     shuffle beyond fill_gaps' own. The a+(b-a)*frac arithmetic is a
     fixed IEEE op sequence — engines agree bitwise."""
-    bucket = (
-        F.unix_micros(F.col(ts_col).cast("timestamp"))
-        / F.lit(bucket_seconds * 1_000_000)
-    ).cast("long")
     # bucket mean via decimal sum / count: a plain double avg is
     # accumulation-order-dependent in the last ulp across partitionings;
     # this spelling is one exact decimal sum + one IEEE division.
     base = (
-        events.select(F.col(user_col), bucket.alias("bucket"), F.col(value_col))
+        events.select(
+            F.col(user_col),
+            _time_bucket(ts_col, bucket_seconds).alias("bucket"),
+            F.col(value_col),
+        )
         .groupBy(user_col, "bucket")
         .agg(
             (
@@ -351,15 +359,7 @@ def interpolate_gaps(
             ).alias("_v")
         )
     )
-    dense = (
-        base.groupBy(user_col)
-        .agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
-        .select(
-            F.col(user_col),
-            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("bucket"),
-        )
-    )
-    joined = dense.join(base, [user_col, "bucket"], "left")
+    joined = _densify(base, user_col)
     wb = (
         W.partitionBy(user_col)
         .orderBy("bucket")

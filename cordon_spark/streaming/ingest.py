@@ -40,8 +40,11 @@ def read_appends(
     of the streaming sink's one-snapshot-per-micro-batch contract.
 
     Scale note: each snapshot is one parquet directory; the union is a
-    metadata-only plan concatenation (no shuffle), and periodic
-    `catalog.compact` keeps the file count bounded."""
+    metadata-only plan concatenation (no shuffle). The file count grows
+    with the number of snapshots — `catalog.compact` rewrites only the
+    CURRENT snapshot (not the append union), so bounding an append
+    table's file count needs an append-aware compaction (future work);
+    do NOT drop_snapshot the originals, this reader is what sees them."""
     out = None
     for sid in catalog.snapshots(table):
         lin = catalog.manifest(table, sid).get("lineage") or {}
@@ -84,12 +87,29 @@ def ingest_stream(
     catalog: SnapshotCatalog,
     table: str,
     rollup: IncrementalRollup | None = None,
-    run_prefix: str = "batch",
+    run_prefix: str | None = None,
     checkpoint_dir: str | None = None,
 ):
     """Start the streaming query: stream -> snapshot-per-micro-batch
     (+ rollup refresh). `checkpoint_dir` enables restart-with-replay,
-    which the snapshot-id skip makes exactly-once."""
+    which the snapshot-id skip makes exactly-once.
+
+    Identity contract (the (appId, version) idea of Delta's streaming
+    sink, keyed here as (run_prefix, batch_id)): a STABLE run_prefix
+    must be paired with a stable checkpoint_dir, and no two streams may
+    share (table, run_prefix) — otherwise a restarted-from-zero batch
+    counter collides with committed snapshot ids and the skip rule
+    silently drops the new run's data. Enforced default: without a
+    checkpoint there is no replay to dedup, so run_prefix defaults to a
+    fresh unique value per start; with a checkpoint it defaults to
+    'batch' (stable across restarts, which replay safety needs)."""
+    if run_prefix is None:
+        if checkpoint_dir is None:
+            import uuid
+
+            run_prefix = f"run-{uuid.uuid4().hex[:12]}"
+        else:
+            run_prefix = "batch"
     writer = stream_df.writeStream.foreachBatch(
         snapshot_sink(catalog, table, rollup, run_prefix)
     ).outputMode("append")

@@ -116,6 +116,7 @@ sessionize(w).count(); funnel_steps(w).count()
 cohort_retention(w).count(); event_transitions(w).count()
 
 best = None
+all_ok = True
 for _trial in range({trials}):
     t0 = time.perf_counter()
     n_sessions = sessionize(ev).count()
@@ -139,12 +140,16 @@ for _trial in range({trials}):
         and coh["max_off"] == 0 and coh["day0"] == n_users and coh["rows"] == 7
         and n_trans == n_users * (per_user - 1)
     )
+    all_ok = all_ok and ok
     if best is None or total < best["sec_total"]:
         best = {{"sec_sessionize": t_sess, "sec_funnel": t_funnel,
                  "sec_cohort": t_cohort, "sec_transitions": t_trans,
-                 "sec_total": total, "structure_ok": ok,
+                 "sec_total": total,
                  "n_sessions": n_sessions, "funnel": funnel}}
-print("LEG_RESULT " + json.dumps(dict(best, n_events=n_events,
+# structure_ok aggregates EVERY trial, not just the fastest one — a
+# correctness failure in a slow trial must not be masked by a fast pass
+print("LEG_RESULT " + json.dumps(dict(best, structure_ok=all_ok,
+      n_events=n_events,
       events_per_sec=n_events * 4 / best["sec_total"])))
 '''
 

@@ -131,16 +131,6 @@ def test_funnel_steps_retry_after_failed_order(spark):
     assert got == {"signup": 1, "view": 1, "click": 1, "purchase": 0}
 
 
-def test_funnel_single_shuffle_plan(spark):
-    """All funnel depth rides ONE sorted pass: exactly one Sort (one
-    window exchange) regardless of the number of steps."""
-    ev = _ev(spark, [(1, "2026-01-01 00:00:00", 1, "signup", 0.0)])
-    plan = funnel_steps(ev)._jdf.queryExecution().executedPlan().toString()
-    import re
-    assert len(re.findall(r"\bSort\b", plan)) == 1
-    assert len(re.findall(r"\bWindow\b", plan)) == 4
-
-
 def test_cohort_retention_triangle(spark):
     ev = _ev(spark, [
         (1, "2026-01-01 10:00:00", 1, "view", 0.0),   # u1 cohort day d
@@ -226,3 +216,16 @@ def test_interpolate_gaps_linear_and_edges(spark):
         (1, d + 2): (6.0, False), (1, d + 3): (8.0, True),
         (2, d + 1): (5.0, True),
     }
+
+
+def test_time_bucket_floor_semantics_pre_epoch(spark):
+    """Bucket indexes FLOOR (matching SQL //), never truncate toward
+    zero: a pre-1970 event must land in bucket -1, not share bucket 0
+    with post-epoch events."""
+    from cordon_spark.operators.events import fill_gaps
+    ev = _ev(spark, [
+        (1, "1969-12-31 12:00:00", 1, "view", 0.0),
+        (2, "1970-01-01 12:00:00", 1, "view", 0.0),
+    ])
+    rows = {(r.user_id, r.bucket): r.n for r in fill_gaps(ev).collect()}
+    assert rows == {(1, -1): 1, (1, 0): 1}
