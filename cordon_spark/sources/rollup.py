@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cordon_spark.sources.catalog import SnapshotCatalog
 
-REWRITE_OPS = {"compact", "cluster"}
+REWRITE_OPS = {"compact", "cluster", "compact_appends"}
 _REWRITE_OPS = REWRITE_OPS  # back-compat alias
 
 

@@ -30,31 +30,108 @@ from cordon_spark.sources.catalog import SnapshotCatalog
 from cordon_spark.sources.rollup import REWRITE_OPS, IncrementalRollup
 
 
+def _append_state(catalog: SnapshotCatalog, table: str):
+    """(base_sid | None, covered set, live append sids) for an
+    append-model table: the newest compact_appends snapshot (if any)
+    is the base; appends it covers are superseded; everything else
+    that isn't a rewrite is live delta."""
+    manifests = {
+        sid: catalog.manifest(table, sid) for sid in catalog.snapshots(table)
+    }
+    bases = [
+        (m["committed_at"], sid)
+        for sid, m in manifests.items()
+        if (m.get("lineage") or {}).get("op") == "compact_appends"
+    ]
+    base_sid = max(bases)[1] if bases else None
+    covered = (
+        set(manifests[base_sid]["lineage"]["covered"]) if base_sid else set()
+    )
+    live = [
+        sid
+        for sid, m in manifests.items()
+        if (m.get("lineage") or {}).get("op") not in REWRITE_OPS
+        and sid not in covered
+    ]
+    return base_sid, covered, sorted(live), manifests
+
+
 def read_appends(
     spark: SparkSession, catalog: SnapshotCatalog, table: str
 ) -> DataFrame:
-    """Read the full contents of an APPEND-model table: the union of
-    every append snapshot, skipping rewrite snapshots (compaction /
-    clustering re-layout EXISTING rows — same skip rule as
-    IncrementalRollup.pending). This is the batch-reader counterpart
-    of the streaming sink's one-snapshot-per-micro-batch contract.
+    """Read the full contents of an APPEND-model table: the newest
+    `compact_appends` base (when one exists) unioned with every append
+    snapshot it doesn't cover. Plain rewrite snapshots (compact /
+    cluster re-layout EXISTING rows) are skipped by the same rule as
+    IncrementalRollup.pending. This is the batch-reader counterpart of
+    the streaming sink's one-snapshot-per-micro-batch contract.
 
     Scale note: each snapshot is one parquet directory; the union is a
-    metadata-only plan concatenation (no shuffle). The file count grows
-    with the number of snapshots — `catalog.compact` rewrites only the
-    CURRENT snapshot (not the append union), so bounding an append
-    table's file count needs an append-aware compaction (future work);
-    do NOT drop_snapshot the originals, this reader is what sees them."""
-    out = None
-    for sid in catalog.snapshots(table):
-        lin = catalog.manifest(table, sid).get("lineage") or {}
-        if lin.get("op") in REWRITE_OPS:
-            continue
-        part = catalog.read(spark, table, sid)
-        out = part if out is None else out.unionByName(part)
-    if out is None:
+    metadata-only plan concatenation (no shuffle). Run compact_appends
+    periodically so the union stays [one compacted base + recent
+    micro-batches] instead of thousands of tiny snapshots."""
+    base_sid, _covered, live, _m = _append_state(catalog, table)
+    parts = [catalog.read(spark, table, s) for s in ([base_sid] if base_sid else [])]
+    parts += [catalog.read(spark, table, s) for s in live]
+    if not parts:
         raise FileNotFoundError(f"no committed snapshot for table {table}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     return out
+
+
+def compact_appends(
+    spark: SparkSession,
+    catalog: SnapshotCatalog,
+    table: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Append-aware compaction: rewrite the table's CURRENT logical
+    contents (base + live appends) into one combined snapshot whose
+    lineage `covered` lists every snapshot it folds — read_appends then
+    scans [new base + later appends] only. History is preserved
+    (Iceberg rewrite_data_files semantics): old snapshots stay readable
+    and the row-count invariant is checked after the commit.
+
+    The 100 TB why: a streaming sink lands one snapshot per
+    micro-batch; without this, a day of 1-minute batches puts 1,440
+    directories under every read_appends plan and the driver pays
+    per-file planning forever. Chained compactions fold prior bases
+    (covered is transitive). Dropping superseded originals afterwards
+    is safe for THIS reader; do it only once downstream rollups cover
+    them (IncrementalRollup skips compact_appends snapshots and relies
+    on the originals for its delta)."""
+    base_sid, covered, live, manifests = _append_state(catalog, table)
+    folded = ([base_sid] if base_sid else []) + live
+    if not folded:
+        raise FileNotFoundError(f"no committed snapshot for table {table}")
+    total_bytes = 0
+    for sid in folded:
+        d = catalog._data_dir(table, sid)
+        total_bytes += sum(p.stat().st_size for p in d.rglob("*.parquet"))
+    n_files = max(1, -(-total_bytes // target_file_bytes))  # ceil
+    df = read_appends(spark, catalog, table).coalesce(int(n_files))
+    new_covered = sorted(covered | set(folded))
+    new_sid = f"appends-compacted-{len(new_covered):06d}"
+    manifest = catalog.write_snapshot(
+        df,
+        table,
+        new_sid,
+        lineage={
+            "op": "compact_appends",
+            "covered": new_covered,
+            "folded": folded,
+            "source_bytes": int(total_bytes),
+            "target_file_bytes": int(target_file_bytes),
+        },
+    )
+    expect = sum(manifests[s]["rows"] for s in folded)
+    if manifest["rows"] != expect:  # pragma: no cover - invariant
+        raise RuntimeError(
+            f"append compaction row mismatch: {manifest['rows']} != {expect}"
+        )
+    return manifest
 
 
 def snapshot_sink(

@@ -84,3 +84,48 @@ def test_batch_replay_is_exactly_once(spark, tmp_path):
         "n", "sum_value"
     ).collect()[0]
     assert (n, str(s)) == (4, "10.000000")
+
+
+def test_compact_appends_folds_and_later_batches_append(spark, tmp_path):
+    from cordon_spark.streaming.ingest import compact_appends
+
+    cat = SnapshotCatalog(tmp_path / "wh")
+    sink = snapshot_sink(cat, "ev")
+    for i in range(3):
+        sink(spark.createDataFrame([(i, float(i))], "user_id long, value double"), i)
+
+    before = {tuple(r) for r in read_appends(spark, cat, "ev").collect()}
+    m = compact_appends(spark, cat, "ev")
+    assert m["rows"] == 3
+    assert sorted(m["lineage"]["covered"]) == ["batch-000000", "batch-000001", "batch-000002"]
+    # same logical contents, now scanned from the single base
+    assert {tuple(r) for r in read_appends(spark, cat, "ev").collect()} == before
+
+    # a post-compaction batch is still delta
+    sink(spark.createDataFrame([(9, 9.0)], "user_id long, value double"), 3)
+    after = {tuple(r) for r in read_appends(spark, cat, "ev").collect()}
+    assert after == before | {(9, 9.0)}
+
+    # chained compaction folds the prior base transitively
+    m2 = compact_appends(spark, cat, "ev")
+    assert m2["rows"] == 4
+    assert "appends-compacted-000003" in m2["lineage"]["folded"]
+    assert {tuple(r) for r in read_appends(spark, cat, "ev").collect()} == after
+
+
+def test_rollup_ignores_compacted_base(spark, tmp_path):
+    """compact_appends must not double-fold into an incremental rollup:
+    the rollup's delta comes from the original appends, the compacted
+    base is skipped like any rewrite."""
+    from cordon_spark.streaming.ingest import compact_appends
+
+    cat = SnapshotCatalog(tmp_path / "wh")
+    mv = IncrementalRollup(cat, "ev", "ev_by_user", ["user_id"], ["value"])
+    sink = snapshot_sink(cat, "ev", rollup=mv)
+    sink(spark.createDataFrame([(1, 2.0), (1, 3.0)], "user_id long, value double"), 0)
+    compact_appends(spark, cat, "ev")
+    sink(spark.createDataFrame([(1, 5.0)], "user_id long, value double"), 1)
+    n, s = cat.read(spark, "ev_by_user").filter("user_id = 1").select(
+        "n", "sum_value"
+    ).collect()[0]
+    assert (n, str(s)) == (3, "10.000000")
