@@ -1496,6 +1496,36 @@ FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
 """
 
 
+def q_contamination_score(spark, sf_dir):
+    """Graded contamination fraction vs the same held-out benchmark
+    subset (doc_id % 11 == 0) as q_decontaminate, n=3."""
+    ship_package(spark)
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 11 == 0)
+    return C.contamination_score(docs, bench, n=3)
+
+
+SQL_CONTAMINATION_SCORE = f"""
+WITH {_TOKS_SQL.strip()},
+g AS (SELECT doc_id, unnest(CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+         WHEN len(toks) >= 3
+         THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                           i -> array_to_string(toks[i:i+2], ' ')))
+         ELSE [array_to_string(toks, ' ')] END) AS gram FROM tk),
+bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 11 = 0),
+per AS (SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+               count(bg.gram)::BIGINT AS n_shared
+        FROM g LEFT JOIN bg USING (gram) GROUP BY g.doc_id)
+SELECT d.doc_id,
+       coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(p.n_shared, 0)::BIGINT AS n_shared,
+       CASE WHEN p.n_grams IS NULL OR p.n_grams = 0 THEN 0
+            ELSE floor((p.n_shared::DOUBLE / p.n_grams::DOUBLE) * 10000 + 0.5)
+       END::BIGINT AS score_e4
+FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+"""
+
+
 STRAT_FRACTIONS = {"en": 0.5, "de": 0.3, "zh": 0.1}
 
 
@@ -2678,6 +2708,7 @@ QUERIES = {
     "fill_gaps": q_fill_gaps,
     "last_touch_attribution": q_last_touch_attribution,
     "interpolate_gaps": q_interpolate_gaps,
+    "contamination_score": q_contamination_score,
 }
 
 ORACLE_SQL = {
@@ -2758,4 +2789,5 @@ ORACLE_SQL = {
     "fill_gaps": SQL_FILL_GAPS,
     "last_touch_attribution": SQL_LAST_TOUCH_ATTRIBUTION,
     "interpolate_gaps": SQL_INTERPOLATE_GAPS,
+    "contamination_score": SQL_CONTAMINATION_SCORE,
 }

@@ -89,6 +89,57 @@ def decontaminate(
     )
 
 
+def contamination_score(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Graded companion of `decontaminate`: per-document contamination
+    FRACTION — distinct n-grams shared with the benchmark over the
+    doc's distinct n-gram count (Dolma/FineWeb-style, for thresholding
+    instead of binary flagging). Output: docs' ids + `n_grams`,
+    `n_shared`, `score_e4` (half-up scaled long; 0 for gram-less docs).
+
+    Same 100 TB shape as decontaminate: benchmark grams broadcast, the
+    corpus side is one explode + broadcast left join + one
+    map-side-combined agg — no corpus-side shuffle beyond the count."""
+    bench_grams = (
+        with_shingles(benchmark, n, text_col, out="_sh")
+        .select(F.explode("_sh").alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    doc_grams = with_shingles(docs, n, text_col, out="_sh").select(
+        F.col(id_col), F.explode("_sh").alias("gram")
+    )
+    per_doc = (
+        doc_grams.join(F.broadcast(bench_grams), on="gram", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_shared"),
+        )
+    )
+    score = (
+        F.col("n_shared").cast("double") / F.col("n_grams").cast("double")
+    ) * 10000 + F.lit(0.5)
+    return (
+        docs.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            F.when(F.col("n_grams").isNull() | (F.col("n_grams") == 0), F.lit(0))
+            .otherwise(F.floor(score))
+            .cast("long")
+            .alias("score_e4"),
+        )
+    )
+
+
 def _hash_unit(key: Column, salt: str) -> Column:
     """Deterministic uniform [0,1) from md5(key|salt) — the same
     engine-portable hash family as the LSH planes: DuckDB's

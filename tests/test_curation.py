@@ -97,6 +97,30 @@ def test_decontaminate_planted_overlap(spark):
     assert got[3] == (1, True)
 
 
+def test_contamination_score_fraction(spark):
+    """doc 0 has 3 distinct 3-grams, 1 shared -> 3333; clean doc -> 0;
+    sub-n doc whose whole text matches bench -> 10000."""
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),
+            (1, "completely different words here now"),
+            (2, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "xx alpha beta gamma yy"), (101, "short")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_shared, r.score_e4)
+        for r in C.contamination_score(docs, bench, n=3).collect()
+    }
+    assert got[0] == (3, 1, 3333)
+    assert got[1] == (3, 0, 0)
+    assert got[2] == (1, 1, 10000)
+
+
 def test_stratified_sample_deterministic_and_proportional(spark):
     rows = [(i, "en" if i % 2 == 0 else "de") for i in range(2000)]
     df = spark.createDataFrame(rows, "doc_id long, lang string")
