@@ -2479,13 +2479,13 @@ u AS (SELECT user_id,
              max(q0 IS NOT NULL)::INT AS r0, max(q1 IS NOT NULL)::INT AS r1,
              max(q2 IS NOT NULL)::INT AS r2, max(q3 IS NOT NULL)::INT AS r3
       FROM w4 GROUP BY user_id)
-SELECT 1::BIGINT AS step, 'signup' AS step_name, sum(r0)::BIGINT AS users FROM u
+SELECT 1::BIGINT AS step, 'signup' AS step_name, coalesce(sum(r0), 0)::BIGINT AS users FROM u
 UNION ALL
-SELECT 2::BIGINT, 'view', sum(r1)::BIGINT FROM u
+SELECT 2::BIGINT, 'view', coalesce(sum(r1), 0)::BIGINT FROM u
 UNION ALL
-SELECT 3::BIGINT, 'click', sum(r2)::BIGINT FROM u
+SELECT 3::BIGINT, 'click', coalesce(sum(r2), 0)::BIGINT FROM u
 UNION ALL
-SELECT 4::BIGINT, 'purchase', sum(r3)::BIGINT FROM u
+SELECT 4::BIGINT, 'purchase', coalesce(sum(r3), 0)::BIGINT FROM u
 """
 
 

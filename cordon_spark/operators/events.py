@@ -196,8 +196,13 @@ def funnel_steps(
     # ONE global aggregate carries every step's sum (a union of per-step
     # aggregates would re-plan the window subtree once per step), then a
     # generator unpivots the single row to (step, step_name, users).
+    # coalesce: an EMPTY event frame must report 0 users per step, not
+    # NULL (global agg over zero rows yields null sums)
     totals = reached.agg(
-        *[F.sum(F.col(f"_r{i}").cast("long")).alias(f"_u{i}") for i in range(len(steps))]
+        *[
+            F.coalesce(F.sum(F.col(f"_r{i}").cast("long")), F.lit(0)).alias(f"_u{i}")
+            for i in range(len(steps))
+        ]
     )
     stack_args = []
     for i, step in enumerate(steps):

@@ -103,3 +103,56 @@ def test_pack_sequences_property(spark, tokens, max_tokens):
         by_pack.setdefault(r.pack_id, []).append(t)
     for sizes in by_pack.values():
         assert sum(sizes) < max_tokens + max(sizes)
+
+
+@st.composite
+def funnel_inputs(draw):
+    """Random per-user event sequences over the 4 funnel types plus a
+    distractor; distinct microsecond-grade timestamps via unique secs."""
+    types = ["signup", "view", "click", "purchase", "other"]
+    rows = []
+    eid = 0
+    for user in range(draw(st.integers(1, 3))):
+        secs = draw(st.lists(st.integers(0, 40), max_size=10, unique=True))
+        for t in secs:
+            rows.append((eid, t, user, types[draw(st.integers(0, 4))]))
+            eid += 1
+    return rows
+
+
+def _funnel_oracle(rows, steps=("signup", "view", "click", "purchase")):
+    """Direct recurrence: step-k first-time = min t of a step-k event
+    strictly after the user's qualified step-(k-1) time."""
+    users = {}
+    for _eid, t, user, etype in rows:
+        users.setdefault(user, []).append((t, etype))
+    counts = dict.fromkeys(steps, 0)
+    for evs in users.values():
+        prev = None
+        for i, step in enumerate(steps):
+            cand = [
+                t for t, e in evs
+                if e == step and (i == 0 or (prev is not None and t > prev))
+            ]
+            prev = min(cand) if cand else None
+            if prev is not None:
+                counts[step] += 1
+            else:
+                break
+    return counts
+
+
+@given(funnel_inputs())
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_funnel_steps_matches_direct_recurrence(spark, rows):
+    from cordon_spark.operators.events import funnel_steps
+
+    pdf = pd.DataFrame(rows, columns=["event_id", "secs", "user_id", "event_type"])
+    pdf["ts"] = pd.to_datetime("2026-01-01") + pd.to_timedelta(pdf["secs"], unit="s")
+    df = spark.createDataFrame(
+        pdf[["event_id", "ts", "user_id", "event_type"]],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = {r.step_name: r.users for r in funnel_steps(df).collect()}
+    assert got == _funnel_oracle(rows)

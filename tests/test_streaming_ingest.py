@@ -129,3 +129,26 @@ def test_rollup_ignores_compacted_base(spark, tmp_path):
         "n", "sum_value"
     ).collect()[0]
     assert (n, str(s)) == (3, "10.000000")
+
+
+def test_compact_appends_crash_leaves_table_intact(spark, tmp_path):
+    """A compaction that dies before its manifest commit is invisible:
+    the data directory may exist but without a manifest the snapshot
+    doesn't, so read_appends still unions the original appends."""
+    cat = SnapshotCatalog(tmp_path / "wh")
+    sink = snapshot_sink(cat, "ev")
+    for i in range(2):
+        sink(spark.createDataFrame([(i, float(i))], "user_id long, value double"), i)
+    before = {tuple(r) for r in read_appends(spark, cat, "ev").collect()}
+
+    # simulate the crash window: data written, manifest never committed
+    dead_dir = cat._data_dir("ev", "appends-compacted-000002")
+    read_appends(spark, cat, "ev").coalesce(1).write.parquet(str(dead_dir))
+    assert "appends-compacted-000002" not in cat.snapshots("ev")
+    assert {tuple(r) for r in read_appends(spark, cat, "ev").collect()} == before
+
+    # a retry after the crash commits cleanly over the leftover dir
+    from cordon_spark.streaming.ingest import compact_appends
+    m = compact_appends(spark, cat, "ev")
+    assert m["rows"] == 2
+    assert {tuple(r) for r in read_appends(spark, cat, "ev").collect()} == before
