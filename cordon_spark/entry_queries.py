@@ -2460,9 +2460,9 @@ def q_funnel_steps(spark, sf_dir):
 
 # Chained running-min windows: step k's qualification time is the
 # first step-k event strictly after the running step k-1 time —
-# identical recurrence on both engines, all-integer output.
-SQL_FUNNEL_STEPS = """
-WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+# identical recurrence on both engines, all-integer output. Shared by
+# funnel_steps (reached flags) and funnel_latency (per-user times).
+_FUNNEL_W_SQL = """e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
 w1 AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN us END)
          OVER (PARTITION BY user_id ORDER BY us, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q0 FROM e),
@@ -2474,7 +2474,10 @@ w3 AS (SELECT *, min(CASE WHEN event_type = 'click' AND q1 IS NOT NULL AND us > 
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q2 FROM w2),
 w4 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND q2 IS NOT NULL AND us > q2 THEN us END)
          OVER (PARTITION BY user_id ORDER BY us, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q3 FROM w3),
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q3 FROM w3)"""
+
+SQL_FUNNEL_STEPS = f"""
+WITH {_FUNNEL_W_SQL},
 u AS (SELECT user_id,
              max(q0 IS NOT NULL)::INT AS r0, max(q1 IS NOT NULL)::INT AS r1,
              max(q2 IS NOT NULL)::INT AS r2, max(q3 IS NOT NULL)::INT AS r3
@@ -2486,6 +2489,29 @@ UNION ALL
 SELECT 3::BIGINT, 'click', coalesce(sum(r2), 0)::BIGINT FROM u
 UNION ALL
 SELECT 4::BIGINT, 'purchase', coalesce(sum(r3), 0)::BIGINT FROM u
+"""
+
+
+def q_funnel_latency(spark, sf_dir):
+    ship_package(spark)
+    from cordon_spark.operators.events import funnel_latency
+
+    return funnel_latency(_events(spark, sf_dir), steps=FUNNEL_STEPS)
+
+
+SQL_FUNNEL_LATENCY = f"""
+WITH {_FUNNEL_W_SQL},
+u AS (SELECT user_id, min(q0) AS q0, min(q1) AS q1, min(q2) AS q2, min(q3) AS q3
+      FROM w4 GROUP BY user_id),
+p AS (SELECT 'signup->view' AS pair, q1 - q0 AS d_us FROM u WHERE q1 IS NOT NULL
+      UNION ALL
+      SELECT 'view->click', q2 - q1 FROM u WHERE q2 IS NOT NULL
+      UNION ALL
+      SELECT 'click->purchase', q3 - q2 FROM u WHERE q3 IS NOT NULL)
+SELECT pair, count(*)::BIGINT AS n_users,
+       floor(quantile_cont(d_us, 0.5) * 10000 + 0.5)::BIGINT AS median_us_e4,
+       floor(quantile_cont(d_us, 0.9) * 10000 + 0.5)::BIGINT AS p90_us_e4
+FROM p GROUP BY pair
 """
 
 
@@ -2709,6 +2735,7 @@ QUERIES = {
     "last_touch_attribution": q_last_touch_attribution,
     "interpolate_gaps": q_interpolate_gaps,
     "contamination_score": q_contamination_score,
+    "funnel_latency": q_funnel_latency,
 }
 
 ORACLE_SQL = {
@@ -2790,4 +2817,5 @@ ORACLE_SQL = {
     "last_touch_attribution": SQL_LAST_TOUCH_ATTRIBUTION,
     "interpolate_gaps": SQL_INTERPOLATE_GAPS,
     "contamination_score": SQL_CONTAMINATION_SCORE,
+    "funnel_latency": SQL_FUNNEL_LATENCY,
 }

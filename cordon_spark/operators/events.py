@@ -152,6 +152,42 @@ def hierarchical_rollup(
     )
 
 
+def _funnel_user_times(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Per-user qualified step first-times (_q0.._qk, microsecond longs,
+    NULL where never qualified): the chained running-min recurrence —
+    step k's time at each row is min(us WHERE type=step_k AND us >
+    running step k-1 time). All k windows share one (user, _us) sort
+    (ordering by the derived long, not ts, keeps 8 bytes/row off the
+    exchange), and the per-user reduction exploits that each running
+    column is non-increasing along its partition: the final value is
+    simply min() — a map-side-combined hash agg, no last-row pick."""
+    w = (
+        W.partitionBy(user_col)
+        .orderBy(F.col("_us"), F.col("event_id"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    df = events.select(user_col, us.alias("_us"), "event_type", "event_id")
+    prev = None
+    qcols = []
+    for i, step in enumerate(steps):
+        qual = F.col("event_type") == step
+        if prev is not None:
+            qual = qual & F.col(prev).isNotNull() & (F.col("_us") > F.col(prev))
+        qname = f"_q{i}"
+        df = df.withColumn(qname, F.min(F.when(qual, F.col("_us"))).over(w))
+        qcols.append(qname)
+        prev = qname
+    return df.groupBy(user_col).agg(
+        *[F.min(F.col(q)).alias(q) for q in qcols]
+    )
+
+
 def funnel_steps(
     events: DataFrame,
     steps: tuple[str, ...] = ("signup", "view", "click", "purchase"),
@@ -170,28 +206,10 @@ def funnel_steps(
     the user key regardless of funnel depth, never a per-step self-join
     over the event log. The per-user reduction and the final 4-row
     aggregate are map-side-combined hash aggs."""
-    # Order by the derived microsecond long, not the source timestamp:
-    # carrying ts only for ordering would push an extra 8 bytes/row
-    # through the window exchange (us is order-equivalent to ts).
-    w = (
-        W.partitionBy(user_col)
-        .orderBy(F.col("_us"), F.col("event_id"))
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    df = events.select(user_col, us.alias("_us"), "event_type", "event_id")
-    prev = None
-    qcols = []
-    for i, step in enumerate(steps):
-        qual = F.col("event_type") == step
-        if prev is not None:
-            qual = qual & F.col(prev).isNotNull() & (F.col("_us") > F.col(prev))
-        qname = f"_q{i}"
-        df = df.withColumn(qname, F.min(F.when(qual, F.col("_us"))).over(w))
-        qcols.append(qname)
-        prev = qname
-    reached = df.groupBy(user_col).agg(
-        *[F.max(F.col(q).isNotNull()).alias(f"_r{i}") for i, q in enumerate(qcols)]
+    per_user = _funnel_user_times(events, steps, user_col, ts_col)
+    reached = per_user.select(
+        user_col,
+        *[F.col(f"_q{i}").isNotNull().alias(f"_r{i}") for i in range(len(steps))],
     )
     # ONE global aggregate carries every step's sum (a union of per-step
     # aggregates would re-plan the window subtree once per step), then a
@@ -210,6 +228,40 @@ def funnel_steps(
     return totals.select(
         F.stack(F.lit(len(steps)), *stack_args).alias("step", "step_name", "users")
     ).withColumn("users", F.col("users").cast("long"))
+
+
+def funnel_latency(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("signup", "view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-to-convert between consecutive qualified funnel steps:
+    for each adjacent pair, the count of users who completed it and the
+    exact median / p90 of (step_k time - step_{k-1} time) in
+    microseconds. Built on the same one-sort funnel recurrence
+    (_funnel_user_times); the diffs frame is |users| rows stacked to
+    |users| x (k-1), so the percentile's sort-based state lives inside
+    a small hash agg — no global sort."""
+    per_user = _funnel_user_times(events, steps, user_col, ts_col)
+    stack_args = []
+    for i in range(1, len(steps)):
+        stack_args += [
+            F.lit(f"{steps[i - 1]}->{steps[i]}"),
+            F.col(f"_q{i}") - F.col(f"_q{i - 1}"),
+        ]
+    pairs = per_user.select(
+        F.stack(F.lit(len(steps) - 1), *stack_args).alias("pair", "d_us")
+    ).filter(F.col("d_us").isNotNull())
+    return pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.floor(F.expr("percentile(d_us, 0.5)") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("median_us_e4"),
+        F.floor(F.expr("percentile(d_us, 0.9)") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("p90_us_e4"),
+    )
 
 
 def cohort_retention(

@@ -229,3 +229,18 @@ def test_time_bucket_floor_semantics_pre_epoch(spark):
     ])
     rows = {(r.user_id, r.bucket): r.n for r in fill_gaps(ev).collect()}
     assert rows == {(1, -1): 1, (1, 0): 1}
+
+
+def test_funnel_latency_exact_percentiles(spark):
+    """Two users complete signup->view with diffs 60s and 120s: median
+    is the interpolated midpoint 90s (9e11 us e4-scaled); a pair no one
+    completes is absent."""
+    from cordon_spark.operators.events import funnel_latency
+    ev = _ev(spark, [
+        (1, "2026-01-01 00:00:00", 1, "signup", 0.0),
+        (2, "2026-01-01 00:01:00", 1, "view", 0.0),
+        (3, "2026-01-01 00:00:00", 2, "signup", 0.0),
+        (4, "2026-01-01 00:02:00", 2, "view", 0.0),
+    ])
+    rows = {r.pair: (r.n_users, r.median_us_e4) for r in funnel_latency(ev).collect()}
+    assert rows == {"signup->view": (2, 90_000_000 * 10000)}
