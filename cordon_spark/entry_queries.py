@@ -900,6 +900,20 @@ ORDER BY user_id, session_id
 """
 
 
+def q_sessionize_chunked(spark, sf_dir):
+    """Skew-hardened two-phase sessionize: the ORACLE is the plain
+    sessionize SQL — the scale-hardened plan must hash-match the
+    straightforward spelling exactly."""
+    ship_package(spark)
+    from cordon_spark.operators.events import sessionize_chunked
+
+    out = sessionize_chunked(_events(spark, sf_dir))
+    return out.select(
+        "user_id", "session_id", "n_events", "start_us", "end_us",
+        r4l_dec(F.col("value_sum"), "value_sum_e4"),
+    ).orderBy("user_id", "session_id")
+
+
 def q_topk_per_group(spark, sf_dir):
     ship_package(spark)
     from cordon_spark.operators.events import topk_per_group
@@ -2736,6 +2750,7 @@ QUERIES = {
     "interpolate_gaps": q_interpolate_gaps,
     "contamination_score": q_contamination_score,
     "funnel_latency": q_funnel_latency,
+    "sessionize_chunked": q_sessionize_chunked,
 }
 
 ORACLE_SQL = {
@@ -2818,4 +2833,5 @@ ORACLE_SQL = {
     "interpolate_gaps": SQL_INTERPOLATE_GAPS,
     "contamination_score": SQL_CONTAMINATION_SCORE,
     "funnel_latency": SQL_FUNNEL_LATENCY,
+    "sessionize_chunked": SQL_SESSIONIZE,
 }

@@ -53,6 +53,69 @@ def sessionize(
     )
 
 
+def sessionize_chunked(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = SESSION_GAP_SECONDS,
+    chunk_seconds: int = 86_400,
+) -> DataFrame:
+    """Skew-hardened sessionize: IDENTICAL output to `sessionize`, but
+    the heavy window partitions by (user, time-chunk) so one bot-grade
+    hot user no longer concentrates its entire history in a single
+    task — per-task work is bounded by events-per-user-per-chunk.
+
+    Two exact phases: (1) gaps-and-islands within each (user, chunk);
+    (2) the same gaps-and-islands over the RESULTING session rows per
+    user (<= one row per chunk boundary per user — orders of magnitude
+    smaller than the event log), re-merging sessions split by a chunk
+    edge or spanning empty chunks. Merging is exact because phase-1
+    sessions are maximal within chunks and every aggregate (count,
+    min, max, decimal sum) is associative; session numbering matches
+    sessionize's time order. Pick chunk_seconds >> gap_seconds so
+    phase 2 stays tiny; correctness holds for ANY chunk size
+    (equality asserted in tests incl. chunk < gap)."""
+    gap_us = gap_seconds * 1_000_000
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    chunk = F.floor(micros / F.lit(chunk_seconds * 1_000_000)).cast("long")
+    w1 = W.partitionBy(user_col, "_chunk").orderBy(F.col("_us"), F.col("event_id"))
+    prev1 = F.lag(F.col("_us")).over(w1)
+    new1 = F.when(prev1.isNull() | ((F.col("_us") - prev1) > gap_us), 1).otherwise(0)
+    local = (
+        events.select(
+            user_col, micros.alias("_us"), chunk.alias("_chunk"), "event_id", "value"
+        )
+        .withColumn("_sid1", F.sum(new1).over(w1.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy(user_col, "_chunk", "_sid1")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("_us").alias("start_us"),
+            F.max("_us").alias("end_us"),
+            F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("decimal(20,6)")
+            .alias("value_sum"),
+        )
+    )
+    w2 = W.partitionBy(user_col).orderBy("start_us")
+    prev_end = F.lag("end_us").over(w2)
+    new2 = F.when(
+        prev_end.isNull() | ((F.col("start_us") - prev_end) > gap_us), 1
+    ).otherwise(0)
+    return (
+        local.withColumn(
+            "session_id",
+            F.sum(new2).over(w2.rowsBetween(W.unboundedPreceding, 0)).cast("long"),
+        )
+        .groupBy(user_col, "session_id")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.min("start_us").alias("start_us"),
+            F.max("end_us").alias("end_us"),
+            F.sum("value_sum").cast("decimal(20,6)").alias("value_sum"),
+        )
+    )
+
+
 def topk_per_group(
     events: DataFrame, k: int = 3, group_col: str = "event_type"
 ) -> DataFrame:

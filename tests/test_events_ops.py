@@ -244,3 +244,48 @@ def test_funnel_latency_exact_percentiles(spark):
     ])
     rows = {r.pair: (r.n_users, r.median_us_e4) for r in funnel_latency(ev).collect()}
     assert rows == {"signup->view": (2, 90_000_000 * 10000)}
+
+
+def test_sessionize_chunked_equals_plain(spark):
+    """Two-phase chunked sessionize must equal sessionize exactly —
+    including sessions split by a chunk edge and sessions spanning
+    entirely-empty chunks (chunk < gap case)."""
+    import random
+    from cordon_spark.operators.events import sessionize, sessionize_chunked
+    rng = random.Random(7)
+    rows, eid = [], 0
+    for user in range(1, 6):
+        t = rng.randint(0, 3600)
+        for _ in range(rng.randint(5, 25)):
+            # mixed small steps (within-session) and >30min jumps
+            t += rng.choice([5, 60, 600, 2000, 4000, 90000])
+            rows.append((eid, t, user, "view", float(rng.randint(0, 9))))
+            eid += 1
+    pdf = [(e, __import__("datetime").datetime(2026, 1, 1) +
+            __import__("datetime").timedelta(seconds=t), u, ty, v)
+           for e, t, u, ty, v in rows]
+    ev = spark.createDataFrame(
+        pdf, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+    def canon(df):
+        return sorted(
+            (r.user_id, r.session_id, r.n_events, r.start_us, r.end_us, str(r.value_sum))
+            for r in df.collect()
+        )
+
+    plain = canon(sessionize(ev))
+    # chunk >> gap (normal), chunk just above gap, chunk < gap (stress)
+    for chunk_s in (86_400, 3_600, 600):
+        assert canon(sessionize_chunked(ev, chunk_seconds=chunk_s)) == plain, chunk_s
+
+
+def test_sessionize_chunked_partitions_by_chunk(spark):
+    """The heavy phase-1 window must partition by (user, chunk), not
+    user alone — that's the whole skew defusal."""
+    from cordon_spark.operators.events import sessionize_chunked
+    ev = _ev(spark, [(1, "2026-01-01 00:00:00", 1, "view", 0.0)])
+    plan = sessionize_chunked(ev)._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"Window \[sum\(.*partitionby.*", plan, re.IGNORECASE)
+    assert "_chunk" in plan
