@@ -1484,6 +1484,16 @@ SELECT doc_id, n_emails, n_ips, n_phones, md5(s) AS clean_md5 FROM s3
 """
 
 
+# Shared by SQL_DECONTAMINATE and SQL_CONTAMINATION_SCORE: distinct
+# 3-grams per doc + the held-out benchmark gram set (doc_id % 11).
+_GRAMS3_SQL = """g AS (SELECT doc_id, unnest(CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+         WHEN len(toks) >= 3
+         THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                           i -> array_to_string(toks[i:i+2], ' ')))
+         ELSE [array_to_string(toks, ' ')] END) AS gram FROM tk),
+bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 11 = 0)"""
+
+
 def q_decontaminate(spark, sf_dir):
     """n-gram-overlap decontamination of the corpus against a held-out
     'benchmark' subset (doc_id % 11 == 0), n=3 to match the corpus's
@@ -1497,12 +1507,7 @@ def q_decontaminate(spark, sf_dir):
 
 SQL_DECONTAMINATE = f"""
 WITH {_TOKS_SQL.strip()},
-g AS (SELECT doc_id, unnest(CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
-         WHEN len(toks) >= 3
-         THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
-                                           i -> array_to_string(toks[i:i+2], ' ')))
-         ELSE [array_to_string(toks, ' ')] END) AS gram FROM tk),
-bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 11 = 0),
+{_GRAMS3_SQL},
 hits AS (SELECT g.doc_id, count(*) AS n FROM g JOIN bg USING (gram) GROUP BY g.doc_id)
 SELECT d.doc_id, coalesce(h.n, 0)::BIGINT AS n_contaminated,
        coalesce(h.n, 0) > 0 AS contaminated
@@ -1521,12 +1526,7 @@ def q_contamination_score(spark, sf_dir):
 
 SQL_CONTAMINATION_SCORE = f"""
 WITH {_TOKS_SQL.strip()},
-g AS (SELECT doc_id, unnest(CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
-         WHEN len(toks) >= 3
-         THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
-                                           i -> array_to_string(toks[i:i+2], ' ')))
-         ELSE [array_to_string(toks, ' ')] END) AS gram FROM tk),
-bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 11 = 0),
+{_GRAMS3_SQL},
 per AS (SELECT g.doc_id, count(*)::BIGINT AS n_grams,
                count(bg.gram)::BIGINT AS n_shared
         FROM g LEFT JOIN bg USING (gram) GROUP BY g.doc_id)

@@ -30,8 +30,6 @@ from pyspark.sql import DataFrame
 
 DEFAULT_STEPS: Tuple[str, ...] = ("signup", "view", "click", "purchase")
 
-OUT_SCHEMA = "user_id long, step integer, step_name string, reached_us long"
-
 
 def funnel_stream(
     events: DataFrame,
@@ -40,9 +38,18 @@ def funnel_stream(
     ts_col: str = "ts",
 ) -> DataFrame:
     """events stream -> transition rows: one output row the first time
-    a user's step k qualifies (strictly after their step k-1 time)."""
+    a user's step k qualifies (strictly after their step k-1 time).
+    Requires `event_type` and `event_id` columns (the shared events
+    contract); the output key column mirrors user_col's name AND type."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    for required in (user_col, ts_col, "event_type", "event_id"):
+        if required not in events.columns:
+            raise ValueError(f"funnel_stream input lacks column {required!r}")
+    user_type = events.schema[user_col].dataType.simpleString()
+    out_schema = (
+        f"{user_col} {user_type}, step integer, step_name string, reached_us long"
+    )
     k = len(steps)
     state_schema = ", ".join(f"q{i} long" for i in range(k))
     step_index = {s: i for i, s in enumerate(steps)}
@@ -72,7 +79,7 @@ def funnel_stream(
         if emitted:
             yield pd.DataFrame(
                 {
-                    "user_id": [user] * len(emitted),
+                    user_col: [user] * len(emitted),
                     "step": [i + 1 for i, _ in emitted],
                     "step_name": [steps[i] for i, _ in emitted],
                     "reached_us": [us for _, us in emitted],
@@ -83,7 +90,7 @@ def funnel_stream(
         events.groupBy(user_col)
         .applyInPandasWithState(
             update,
-            outputStructType=OUT_SCHEMA,
+            outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,

@@ -30,29 +30,38 @@ from cordon_spark.sources.catalog import SnapshotCatalog
 from cordon_spark.sources.rollup import REWRITE_OPS, IncrementalRollup
 
 
+_COMPACT_PREFIX = "appends-compacted-"
+
+
 def _append_state(catalog: SnapshotCatalog, table: str):
-    """(base_sid | None, covered set, live append sids) for an
-    append-model table: the newest compact_appends snapshot (if any)
-    is the base; appends it covers are superseded; everything else
-    that isn't a rewrite is live delta."""
-    manifests = {
-        sid: catalog.manifest(table, sid) for sid in catalog.snapshots(table)
-    }
-    bases = [
-        (m["committed_at"], sid)
-        for sid, m in manifests.items()
-        if (m.get("lineage") or {}).get("op") == "compact_appends"
-    ]
+    """(base_sid | None, covered set, live append sids, manifests read)
+    for an append-model table: the newest compact_appends snapshot (if
+    any) is the base; appends it covers are superseded; everything else
+    that isn't a rewrite is live delta.
+
+    Driver cost: manifests are read ONLY for base candidates (their id
+    prefix marks them) and for sids NOT in the base's covered set — a
+    month of compacted 1-minute batches classifies its ~43k superseded
+    sids from the covered list alone, without opening their manifests."""
+    sids = catalog.snapshots(table)
+    manifests: dict = {}
+    bases = []
+    for sid in sids:
+        if sid.startswith(_COMPACT_PREFIX):
+            m = manifests[sid] = catalog.manifest(table, sid)
+            if (m.get("lineage") or {}).get("op") == "compact_appends":
+                bases.append((m["committed_at"], sid))
     base_sid = max(bases)[1] if bases else None
     covered = (
         set(manifests[base_sid]["lineage"]["covered"]) if base_sid else set()
     )
-    live = [
-        sid
-        for sid, m in manifests.items()
-        if (m.get("lineage") or {}).get("op") not in REWRITE_OPS
-        and sid not in covered
-    ]
+    live = []
+    for sid in sids:
+        if sid in covered or sid.startswith(_COMPACT_PREFIX):
+            continue
+        m = manifests.setdefault(sid, catalog.manifest(table, sid))
+        if (m.get("lineage") or {}).get("op") not in REWRITE_OPS:
+            live.append(sid)
     return base_sid, covered, sorted(live), manifests
 
 
@@ -111,7 +120,14 @@ def compact_appends(
         d = catalog._data_dir(table, sid)
         total_bytes += sum(p.stat().st_size for p in d.rglob("*.parquet"))
     n_files = max(1, -(-total_bytes // target_file_bytes))  # ceil
-    df = read_appends(spark, catalog, table).coalesce(int(n_files))
+    # Union EXACTLY the pinned `folded` list — re-deriving via
+    # read_appends here would race a concurrent sink: a micro-batch
+    # committed between _append_state and the read would be folded into
+    # the base but left out of `covered`, double-counting it forever.
+    df = catalog.read(spark, table, folded[0])
+    for sid in folded[1:]:
+        df = df.unionByName(catalog.read(spark, table, sid))
+    df = df.coalesce(int(n_files))
     new_covered = sorted(covered | set(folded))
     new_sid = f"appends-compacted-{len(new_covered):06d}"
     manifest = catalog.write_snapshot(

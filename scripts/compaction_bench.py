@@ -85,13 +85,20 @@ def main() -> None:
         (F.col("id") % 1000).alias("user_id"),
         (F.col("id") % 97).cast("double").alias("value"),
     )
+    tail_row = tail.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("user_id") * F.col("value").cast("long")).alias("s"),
+    ).collect()[0]
     sink(tail, n_batches)
     sec_after_with_tail, sum_after = timed_scan()
 
+    # contents identity: counts AND value checksums must reconcile —
+    # after = before + tail exactly, or the speedup proves nothing
     ok = (
         m["rows"] == n_batches * rows_per
-        and sum_after[0] == (n_batches + 1) * rows_per
         and sum_before[0] == n_batches * rows_per
+        and sum_after[0] == sum_before[0] + tail_row["n"]
+        and sum_after[1] == sum_before[1] + tail_row["s"]
     )
     result = {
         "n_batches": n_batches,

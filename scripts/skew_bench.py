@@ -2,8 +2,9 @@
 holding a large fraction of the event log makes plain sessionize's
 (user) window a single straggler task; the chunked variant bounds
 per-task work by events-per-user-per-chunk. Both run on the SAME
-input, equality of output asserted inside the timed run (count +
-grouped checksum of every session column), wall time of each reported.
+input, equality of output asserted inside the timed run (count + an
+order-independent full-row md5 fold incl. session_id), wall time of
+each reported.
 
 Corpus: SKEW_USERS normal users with SKEW_PER_USER events each on a
 10-minute cadence, plus ONE bot user with SKEW_HOT events on a
@@ -96,14 +97,18 @@ def main() -> None:
     n_events = ev.count()
 
     def canon(df):
+        # every output column participates, INCLUDING session_id (a
+        # renumbering regression must not slip past the identity check);
+        # md5 over the whole row, sum-folded, is order-independent
+        h = F.conv(F.substring(F.md5(F.concat_ws(
+            "|", "user_id", "session_id", "n_events", "start_us", "end_us",
+            F.col("value_sum").cast("string"))), 1, 15), 16, 10).cast("decimal(38,0)")
         r = df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("user_id") * F.col("n_events")).alias("c1"),
-            F.sum(F.col("start_us") % 1_000_003).alias("c2"),
-            F.sum(F.col("end_us") % 1_000_003).alias("c3"),
-            F.sum(F.col("value_sum")).alias("c4"),
+            F.sum(h).alias("rowhash"),  # decimal: no int64 overflow at any row count
+            F.sum(F.col("value_sum")).alias("vsum"),
         ).collect()[0]
-        return (r["n"], r["c1"], r["c2"], r["c3"], str(r["c4"]))
+        return (r["n"], str(r["rowhash"]), str(r["vsum"]))
 
     def timed(fn):
         best, sig = None, None
@@ -125,7 +130,7 @@ def main() -> None:
         "sec_plain": round(sec_plain, 2),
         "sec_chunked": round(sec_chunked, 2),
         "speedup": round(sec_plain / sec_chunked, 2),
-        "outputs_identical": ok, "sessions": sig_plain[0],
+        "outputs_identical": ok, "sessions": sig_plain[0],  # full-row md5 identity
     }
     lines = [
         "",
@@ -136,8 +141,8 @@ def main() -> None:
         f"({100 * hot / n_events:.0f}% of the log): plain sessionize's",
         "(user) window makes that one partition a straggler task; the",
         "chunked variant bounds per-task work by events-per-chunk. Same",
-        "input, outputs asserted IDENTICAL (count + per-column grouped",
-        "checksums) inside the timed run (scripts/skew_bench.py):",
+        "input, outputs asserted IDENTICAL (count + order-independent",
+        "full-row md5 fold incl. session_id) inside the timed run",
         "",
         f"| variant | wall s (best of {trials}, local[{cpus}]) |",
         "|---|---|",
