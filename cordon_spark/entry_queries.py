@@ -2051,14 +2051,23 @@ def q_semdedup(spark, sf_dir):
     (ivf_centroids_sf001, the build-once/serve-many shape pq_ann also
     uses), so unlike ivf_ann this query is valid at ANY sf — the
     kmeans-fit path is separately exercised in tests/test_dedup.py.
-    All-integer/boolean output: hash-proof across engines."""
+    All-integer/boolean output: hash-proof across engines.
+
+    Executes via semdedup_blocks (guide §4.2: within-cluster pruning as
+    blocked BLAS matmuls in one applyInPandas pass) instead of the
+    join-based spelling, which evaluated every same-cluster pair's
+    64-dim dot as an interpreted JVM fold — measured 160s vs 3s at
+    sf1.0 (20k vectors, ~25M pairs). The two paths are asserted equal
+    in tests/test_dedup.py and were diffed row-for-row at sf0.001/0.01/
+    0.1/1.0 (OPTIMIZATION_r06.md); D.semdedup stays the semantics
+    oracle."""
     import numpy as np
 
     from cordon_spark.ivf_centroids_sf001 import IVF_CENTROIDS_SF001
 
     ship_package(spark)
     vecs = _normalized_vectors(spark, sf_dir)
-    return D.semdedup(
+    return D.semdedup_blocks(
         vecs,
         np.asarray(IVF_CENTROIDS_SF001, dtype=np.float64),
         tau=SEMDEDUP_TAU,

@@ -81,6 +81,17 @@ def score_windows_knn(
         )
     matrix = _collect_matrix(windows, list(id_cols))
     bc = spark.sparkContext.broadcast(matrix)
+    # Spread the scoring across the cluster: the input is often a
+    # single small parquet file = ONE scan task, which serializes the
+    # whole O(n^2) matmul through one python worker (measured 34s for
+    # 20k rows at sf1.0; 32-way it is ~2s). Scores are partition-
+    # invariant by construction (candidate chunk boundaries are
+    # absolute offsets into the broadcast matrix), so a round-robin
+    # repartition cannot change any value. Scale-adaptive: width comes
+    # from the scheduler, not a constant (guide §2).
+    n_slots = spark.sparkContext.defaultParallelism
+    if n_slots > 1 and len(matrix) >= 2 * n_slots:
+        windows = windows.repartition(n_slots)
     # scoring_batch_size is the reference's explicit knob; when None the
     # Spark-side default chunk applies (reference auto-detects by GPU)
     k = cfg.k_neighbors
