@@ -76,16 +76,33 @@ def r4l_dec(col, name):
     return F.floor(scaled).cast("long").alias(name)
 
 
+def _spread(df):
+    """Input-skew guard (guide §2.5: one unsplittable input -> repartition
+    immediately after the read). The fixture tables are single-row-group
+    parquet files, so without this every per-row-heavy pass (shingle md5,
+    entropy folds, regex scrubbing) runs in ONE scan task no matter how
+    many cores (measured: the minhash signature stage alone was 24s
+    single-task at sf1.0, ~1s spread 32-way). Gated on actual scan width
+    vs the scheduler's parallelism, so at real scale — where a table is
+    many files/row groups and the scan is already wider than the cluster
+    — this is a no-op and no corpus-wide shuffle is ever added."""
+    spark = df.sparkSession
+    n_slots = spark.sparkContext.defaultParallelism
+    if n_slots > 1 and df.rdd.getNumPartitions() < n_slots:
+        return df.repartition(n_slots)
+    return df
+
+
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _events(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def derived_transcripts(spark, sf_dir) -> DataFrame:
