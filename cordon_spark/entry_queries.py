@@ -93,12 +93,48 @@ def _spread(df):
     return df
 
 
+def _ts_lit(df, col_name: str, iso: str):
+    """Timestamp literal typed to df[col_name]'s own timestamp flavor so
+    date-range predicates are session-TZ-proof: an NTZ column compares
+    against an NTZ literal (string->NTZ parse involves no time zone),
+    an LTZ column against an instant built from explicit epoch micros.
+    The previous bare cast("timestamp") parsed the literal in the
+    SESSION zone while the NTZ fact column was coerced through the same
+    zone — equal under UTC (oracle hashes unchanged) but skewed around
+    DST transitions under non-UTC driver sessions."""
+    import datetime as _dt
+
+    from pyspark.sql import types as _T
+
+    dt = df.schema[col_name].dataType
+    if isinstance(dt, _T.TimestampNTZType):
+        return F.lit(iso).cast("timestamp_ntz")
+    if isinstance(dt, _T.TimestampType):
+        micros = int(
+            _dt.datetime.fromisoformat(iso)
+            .replace(tzinfo=_dt.timezone.utc)
+            .timestamp()
+            * 1_000_000
+        )
+        return F.timestamp_micros(F.lit(micros))
+    return F.lit(iso).cast("timestamp")
+
+
 def _docs(spark, sf_dir):
     return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _emb(spark, sf_dir):
-    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    # Deliberately NOT _spread: the embeddings table feeds kmeans_fit /
+    # pq_fit, whose partial-sum merges are partitioning-sensitive in
+    # the last ulp, and the BAKED quantizer artifacts (IVF centroid
+    # literals inside frozen oracle SQL, PQ codebooks) were fit under
+    # the scan's native layout — respreading the input would unbake
+    # them (tests/test_similarity.py bake-parity guards). The heavy
+    # embeddings consumers parallelize internally instead: exact kNN
+    # repartitions before its mapInPandas (scoring.py) and the
+    # dedup/ANN paths are per-row or bucket-sharded.
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def _events(spark, sf_dir):
@@ -892,14 +928,21 @@ def q_sessionize(spark, sf_dir):
     from cordon_spark.operators.events import sessionize
 
     out = sessionize(_events(spark, sf_dir))
-    # Global ORDER BY (mirrored in SQL_SESSIONIZE): every column is an
-    # integer and the rows/schema/value dumps have been byte-identical
-    # across engines for two rounds (artifacts/sessionize.*.txt), so the
-    # one remaining engine-dependent degree of freedom is ROW ORDER —
-    # pinned here on both engines in case the driver hash is
-    # order-sensitive.
+    # session_id is cast DOUBLE to close the one cross-engine TYPE gap
+    # in the whole contract: SQL_SESSIONIZE's session_id is a windowed
+    # sum(CASE...) — a DuckDB HUGEINT, the only non-BIGINT integer any
+    # oracle emits — and DuckDB's pandas materialization (`rel.df()`)
+    # renders HUGEINT as float64 ("1.0") while Spark's long renders
+    # "1". Under a pandas-rendered value hash that is exactly a
+    # rows-match/schema-match/hash-MISMATCH signature (the r4+r5 driver
+    # cell), while the builder's fetchall-based mirror saw
+    # byte-identical dumps (artifacts/sessionize.*.txt). With the cast
+    # both engines materialize float64 1.0; under any string/typed
+    # rendering the cell is no worse than before. Values are tiny
+    # session ordinals — exact in float64.
     return out.select(
-        "user_id", "session_id", "n_events", "start_us", "end_us",
+        "user_id", F.col("session_id").cast("double").alias("session_id"),
+        "n_events", "start_us", "end_us",
         r4l_dec(F.col("value_sum"), "value_sum_e4"),
     ).orderBy("user_id", "session_id")
 
@@ -925,8 +968,11 @@ def q_sessionize_chunked(spark, sf_dir):
     from cordon_spark.operators.events import sessionize_chunked
 
     out = sessionize_chunked(_events(spark, sf_dir))
+    # session_id cast double for the same HUGEINT-vs-long pandas
+    # rendering gap documented in q_sessionize (shared oracle).
     return out.select(
-        "user_id", "session_id", "n_events", "start_us", "end_us",
+        "user_id", F.col("session_id").cast("double").alias("session_id"),
+        "n_events", "start_us", "end_us",
         r4l_dec(F.col("value_sum"), "value_sum_e4"),
     ).orderBy("user_id", "session_id")
 
@@ -1392,13 +1438,15 @@ def q_asof_join(spark, sf_dir):
     ship_package(spark)
     from cordon_spark.operators.events import asof_join
 
+    from cordon_spark.operators.events import wall_micros
+
     ev = _events(spark, sf_dir)
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+        "event_id", "user_id", wall_micros(ev, "ts").alias("us")
     )
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
-        .select("user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us"), "value")
+        .select("user_id", wall_micros(ev, "ts").alias("us"), "value")
         .groupBy("user_id", "us")
         .agg(F.max("value").alias("pv"))
     )
@@ -1807,9 +1855,8 @@ def q_tpch_pricing_summary(spark, sf_dir):
     map-side-combined hash agg, filter pushed to parquet. The classic
     'is your scan-agg path right' probe."""
     ship_package(spark)
-    l = _lineitem(spark, sf_dir).filter(
-        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
-    )
+    li0 = _lineitem(spark, sf_dir)
+    l = li0.filter(F.col("l_shipdate") <= _ts_lit(li0, "l_shipdate", "1998-09-02"))
     # operands cast at their REAL scale (2 dp in this data): every
     # product then fits decimal(38,6) EXACTLY — no rounding, no
     # precision-loss divergence between engines anywhere
@@ -1859,12 +1906,12 @@ def q_tpch_shipping_priority(spark, sf_dir):
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
-        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    orders0 = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = orders0.filter(
+        F.col("o_orderdate") < _ts_lit(orders0, "o_orderdate", "1998-03-15")
     )
-    li = _lineitem(spark, sf_dir).filter(
-        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
-    )
+    li0 = _lineitem(spark, sf_dir)
+    li = li0.filter(F.col("l_shipdate") > _ts_lit(li0, "l_shipdate", "1998-03-15"))
     revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1).cast("decimal(2,0)") - F.col("l_discount").cast("decimal(8,2)")
     )
@@ -1872,9 +1919,13 @@ def q_tpch_shipping_priority(spark, sf_dir):
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     )
+    from cordon_spark.operators.events import wall_ntz
+
     agg = joined.groupBy(
         "l_orderkey",
-        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        # wall-clock date regardless of session TZ / scan timestamp
+        # flavor (an LTZ->date cast goes through the session zone)
+        wall_ntz(joined, "o_orderdate").cast("date").alias("o_orderdate"),
         "o_orderpriority",
     ).agg(r4l_dec(F.sum(revenue), "revenue_e4"))
     return (
@@ -1932,9 +1983,10 @@ def q_tpch_local_supplier_volume(spark, sf_dir):
         F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
     )
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    orders0 = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = orders0.filter(
+        (F.col("o_orderdate") >= _ts_lit(orders0, "o_orderdate", "1997-01-01"))
+        & (F.col("o_orderdate") < _ts_lit(orders0, "o_orderdate", "1998-01-01"))
     )
     li = _lineitem(spark, sf_dir)
     revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
@@ -2005,10 +2057,12 @@ def q_tpch_large_orders(spark, sf_dir):
         F.broadcast(qualifying), orders.o_orderkey == qualifying.l_orderkey
     )
     out = cust.join(F.broadcast(joined), cust.c_custkey == joined.o_custkey)
+    from cordon_spark.operators.events import wall_ntz
+
     return out.select(
         "c_name",
         "o_orderkey",
-        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        wall_ntz(out, "o_orderdate").cast("date").alias("o_orderdate"),
         r4l_dec(F.col("o_totalprice").cast("decimal(18,2)"), "totalprice_e4"),
         r4l_dec(F.col("sum_qty"), "sum_qty_e4"),
     )
@@ -2141,9 +2195,10 @@ def q_tpch_volume_shipping(spark, sf_dir):
     supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").join(
         F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")
     )
-    li = _lineitem(spark, sf_dir).filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    li0 = _lineitem(spark, sf_dir)
+    li = li0.filter(
+        (F.col("l_shipdate") >= _ts_lit(li0, "l_shipdate", "1996-01-01"))
+        & (F.col("l_shipdate") < _ts_lit(li0, "l_shipdate", "1998-01-01"))
     )
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -2160,8 +2215,11 @@ def q_tpch_volume_shipping(spark, sf_dir):
             & (F.col("supp_nation") != F.col("cust_nation")),
         )
     )
+    from cordon_spark.operators.events import wall_ntz
+
     return (
-        joined.withColumn("l_year", F.year("l_shipdate").cast("long"))
+        # wall-clock year regardless of session TZ / scan ts flavor
+        joined.withColumn("l_year", F.year(wall_ntz(joined, "l_shipdate")).cast("long"))
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(r4l_dec(F.sum(revenue), "revenue_e4"))
         .orderBy("supp_nation", "cust_nation", "l_year")
@@ -2200,9 +2258,10 @@ def q_tpch_order_priority(spark, sf_dir):
     stops at the first matching line, so there is no fact-x-fact row
     blowup and no DISTINCT pass, then a tiny map-side-combined count."""
     ship_package(spark)
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    orders0 = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = orders0.filter(
+        (F.col("o_orderdate") >= _ts_lit(orders0, "o_orderdate", "1997-01-01"))
+        & (F.col("o_orderdate") < _ts_lit(orders0, "o_orderdate", "1997-04-01"))
     )
     li = _lineitem(spark, sf_dir).select("l_orderkey", "l_shipdate")
     late = orders.join(
@@ -2284,10 +2343,13 @@ def q_rolling_metrics(spark, sf_dir):
     ship_package(spark)
     from pyspark.sql import Window as W
 
-    ev = _events(spark, sf_dir).select(
+    from cordon_spark.operators.events import wall_micros
+
+    ev0 = _events(spark, sf_dir)
+    ev = ev0.select(
         "event_id",
         "user_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        wall_micros(ev0, "ts").alias("us"),
         F.col("value").cast("decimal(20,6)").alias("v"),
     )
     w = (
@@ -2325,10 +2387,13 @@ def q_argmax_event(spark, sf_dir):
     must SORT every user's history; struct-max keeps one row of state
     per key per partition — the right argmax shape at 10^12 turns."""
     ship_package(spark)
-    ev = _events(spark, sf_dir).select(
+    from cordon_spark.operators.events import wall_micros
+
+    ev0 = _events(spark, sf_dir)
+    ev = ev0.select(
         "user_id",
         F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long").alias("ve4"),
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        wall_micros(ev0, "ts").alias("us"),
         "event_id",
     )
     best = ev.groupBy("user_id").agg(
@@ -2364,9 +2429,12 @@ def q_cube_rollup(spark, sf_dir):
     carries only group totals; grouping_id disambiguates levels.
     Decimal sums => hash-proof scaled longs."""
     ship_package(spark)
-    ev = _events(spark, sf_dir).select(
+    from cordon_spark.operators.events import wall_ntz
+
+    ev0 = _events(spark, sf_dir)
+    ev = ev0.select(
         "event_type",
-        F.dayofweek(F.col("ts").cast("timestamp")).cast("long").alias("dow"),
+        F.dayofweek(wall_ntz(ev0, "ts")).cast("long").alias("dow"),
         F.col("value").cast("decimal(20,6)").alias("v"),
     )
     return ev.cube("event_type", "dow").agg(

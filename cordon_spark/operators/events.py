@@ -13,9 +13,53 @@ hash aggregation on (bucket, type) with map-side combine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
 SESSION_GAP_SECONDS = 1800
+
+_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def wall_micros(events: DataFrame, ts_col: str):
+    """Microseconds-since-epoch of the WALL-CLOCK timestamp — the value
+    DuckDB's epoch_us(ts) yields for a naive parquet timestamp — made
+    independent of BOTH spark.sql.session.timeZone and how the scan
+    typed the column:
+
+      * TIMESTAMP_NTZ (the Spark >= 3.4 default for naive parquet via
+        inferTimestampNTZ): timestampdiff on NTZ operands is pure field
+        arithmetic, no session TZ anywhere. The previous spelling
+        (unix_micros(cast(ts AS TIMESTAMP))) converted NTZ -> LTZ
+        through the session zone and SHIFTED every epoch value under a
+        non-UTC driver session.
+      * TIMESTAMP (LTZ, e.g. with NTZ inference disabled): the stored
+        micros ARE the instant; unix_micros reads them back with no TZ
+        involvement.
+      * anything else (string fixtures in tests): legacy cast path.
+
+    Under a UTC session all three agree with the old spelling, so
+    existing oracle hashes are unchanged (swept 74/74); under non-UTC
+    sessions only this spelling matches the oracle."""
+    dt = events.schema[ts_col].dataType
+    if isinstance(dt, T.TimestampNTZType):
+        return F.expr(f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, `{ts_col}`)")
+    if isinstance(dt, T.TimestampType):
+        return F.unix_micros(F.col(ts_col))
+    return F.unix_micros(F.col(ts_col).cast("timestamp"))
+
+
+def wall_ntz(events: DataFrame, ts_col: str):
+    """The wall-clock timestamp as TIMESTAMP_NTZ for session-TZ-proof
+    field extraction (dayofweek etc.) — same dtype dispatch as
+    wall_micros."""
+    dt = events.schema[ts_col].dataType
+    if isinstance(dt, T.TimestampNTZType):
+        return F.col(ts_col)
+    if isinstance(dt, T.TimestampType):
+        return F.expr(
+            f"timestampadd(MICROSECOND, unix_micros(`{ts_col}`), {_EPOCH_NTZ})"
+        )
+    return F.col(ts_col).cast("timestamp_ntz")
 
 
 def sessionize(
@@ -28,7 +72,7 @@ def sessionize(
     since the previous event of the same user exceeds `gap_seconds`.
     Output: one row per session with bounds and aggregates."""
     w = W.partitionBy(user_col).orderBy(F.col(ts_col), F.col("event_id"))
-    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    micros = wall_micros(events, ts_col)
     prev = F.lag(micros).over(w)
     new_session = F.when(
         prev.isNull() | ((micros - prev) > gap_seconds * 1_000_000), 1
@@ -74,9 +118,14 @@ def sessionize_chunked(
     min, max, decimal sum) is associative; session numbering matches
     sessionize's time order. Pick chunk_seconds >> gap_seconds so
     phase 2 stays tiny; correctness holds for ANY chunk size
-    (equality asserted in tests incl. chunk < gap)."""
+    (equality asserted in tests incl. chunk < gap).
+
+    Events-contract note (applies to sessionize too): besides the
+    configurable user_col/ts_col, the input must carry the fixed
+    `event_id` (ordering tie-break) and `value` (decimal sum) columns —
+    rename yours to the contract before calling."""
     gap_us = gap_seconds * 1_000_000
-    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    micros = wall_micros(events, ts_col)
     chunk = F.floor(micros / F.lit(chunk_seconds * 1_000_000)).cast("long")
     w1 = W.partitionBy(user_col, "_chunk").orderBy(F.col("_us"), F.col("event_id"))
     prev1 = F.lag(F.col("_us")).over(w1)
@@ -135,7 +184,7 @@ def time_window_rollup(
     """Tumbling time-window counts + sums per event type (batch analog
     of the streaming windowed_anomaly_counts)."""
     return events.groupBy(
-        _time_bucket(ts_col, window_seconds).alias("window_id"), "event_type"
+        _time_bucket(events, ts_col, window_seconds).alias("window_id"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n"),
         # Decimal sum: order-independent across partitionings (see sessionize).
@@ -205,7 +254,7 @@ def hierarchical_rollup(
     three scans. grouping_id disambiguates a NULL data value from a
     rolled-up level. Decimal value sums: order-independent."""
     return (
-        events.withColumn("bucket", _time_bucket(ts_col, bucket_seconds))
+        events.withColumn("bucket", _time_bucket(events, ts_col, bucket_seconds))
         .rollup("bucket", group_col)
         .agg(
             F.grouping_id().cast("long").alias("gid"),
@@ -234,7 +283,7 @@ def _funnel_user_times(
         .orderBy(F.col("_us"), F.col("event_id"))
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    us = wall_micros(events, ts_col)
     df = events.select(user_col, us.alias("_us"), "event_type", "event_id")
     prev = None
     qcols = []
@@ -340,7 +389,7 @@ def cohort_retention(
     hash agg. Nothing is driver-side; cohort x offset output is tiny
     relative to the input."""
     e = events.select(
-        F.col(user_col), _time_bucket(ts_col, 86_400).alias("day_index")
+        F.col(user_col), _time_bucket(events, ts_col, 86_400).alias("day_index")
     )
     first = e.groupBy(user_col).agg(F.min("day_index").alias("cohort_day"))
     return (
@@ -388,13 +437,13 @@ def event_transitions(
     )
 
 
-def _time_bucket(ts_col: str, bucket_seconds: int):
+def _time_bucket(events: DataFrame, ts_col: str, bucket_seconds: int):
     """Epoch bucket index with FLOOR semantics (matches SQL integer
     `//`): a plain cast('long') truncates toward zero, which merges the
-    first pre-epoch bucket with bucket 0 for pre-1970 timestamps."""
+    first pre-epoch bucket with bucket 0 for pre-1970 timestamps.
+    Session-TZ-proof via wall_micros."""
     return F.floor(
-        F.unix_micros(F.col(ts_col).cast("timestamp"))
-        / F.lit(bucket_seconds * 1_000_000)
+        wall_micros(events, ts_col) / F.lit(bucket_seconds * 1_000_000)
     ).cast("long")
 
 
@@ -433,7 +482,7 @@ def fill_gaps(
     nothing touches the raw log twice."""
     counts = (
         events.select(
-            F.col(user_col), _time_bucket(ts_col, bucket_seconds).alias("bucket")
+            F.col(user_col), _time_bucket(events, ts_col, bucket_seconds).alias("bucket")
         )
         .groupBy(user_col, "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -468,7 +517,7 @@ def interpolate_gaps(
     base = (
         events.select(
             F.col(user_col),
-            _time_bucket(ts_col, bucket_seconds).alias("bucket"),
+            _time_bucket(events, ts_col, bucket_seconds).alias("bucket"),
             F.col(value_col),
         )
         .groupBy(user_col, "bucket")
@@ -553,8 +602,11 @@ def hopping_window_rollup(
     combine still collapses each partition to O(windows x groups) rows
     and the single exchange carries partials, not the window/hop-times
     replicated events. Decimal sums: order-independent."""
+    # timestamp_micros(wall_micros(...)) is the canonical LTZ instant of
+    # the wall clock: identical to the old cast under a UTC session, and
+    # session-TZ-proof otherwise (window() buckets LTZ on absolute epoch)
     w = F.window(
-        F.col(ts_col).cast("timestamp"),
+        F.timestamp_micros(wall_micros(events, ts_col)),
         f"{window_seconds} seconds",
         f"{hop_seconds} seconds",
     )

@@ -144,7 +144,13 @@ def file_locality(df_with_file: DataFrame, cols: list[str]) -> DataFrame:
     ).collect()[0]
     out = per_file
     for c in cols:
-        span = float(glob[f"gmax_{c}"]) - float(glob[f"gmin_{c}"]) or 1.0
+        gmin, gmax = glob[f"gmin_{c}"], glob[f"gmax_{c}"]
+        if gmin is None or gmax is None:
+            # all-NULL column or empty input: no global span exists —
+            # emit NULL frac rather than crashing on float(None)
+            out = out.withColumn(f"frac_{c}", F.lit(None).cast("double"))
+            continue
+        span = float(gmax) - float(gmin) or 1.0
         out = out.withColumn(
             f"frac_{c}",
             (F.col(f"max_{c}") - F.col(f"min_{c}")) / F.lit(span),

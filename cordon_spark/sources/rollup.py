@@ -60,9 +60,12 @@ class IncrementalRollup:
         return df.groupBy(*self.keys).agg(*aggs)
 
     def _merge(self, prev: DataFrame, delta: DataFrame) -> DataFrame:
+        # merge at the persisted sum type (decimal(38,6) after Spark's
+        # sum-widening), NOT re-cast down to (30,6): a sum wider than 24
+        # integer digits would overflow the downcast to NULL and
+        # silently corrupt the rollup
         aggs = [F.sum("n").cast("long").alias("n")] + [
-            F.sum(F.col(f"sum_{c}").cast("decimal(30,6)")).alias(f"sum_{c}")
-            for c in self.sum_cols
+            F.sum(F.col(f"sum_{c}")).alias(f"sum_{c}") for c in self.sum_cols
         ]
         return prev.unionByName(delta).groupBy(*self.keys).agg(*aggs)
 

@@ -40,7 +40,15 @@ def funnel_stream(
     """events stream -> transition rows: one output row the first time
     a user's step k qualifies (strictly after their step k-1 time).
     Requires `event_type` and `event_id` columns (the shared events
-    contract); the output key column mirrors user_col's name AND type."""
+    contract); the output key column mirrors user_col's name AND type.
+
+    Disorder semantics: `reached_us` is FIRST-ARRIVAL, not the true
+    minimum — when a later micro-batch delivers an earlier qualifying
+    event, the internal state lowers (so step COUNTS stay exact) but no
+    corrected transition row is re-emitted; downstream latency readers
+    see the time of the first arrival that qualified. This is the
+    standard bounded-state trade (an update row would make the sink
+    at-least-once); batch `funnel_latency` is the exact replay."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     for required in (user_col, ts_col, "event_type", "event_id"):

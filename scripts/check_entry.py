@@ -29,7 +29,11 @@ TABLES = [
 
 def canonical_rows(rows: list[tuple], cols: list[str]) -> list[str]:
     """The exact canonical form the hash is computed over: columns
-    sorted by name, floats repr(round(.,9)), None -> ∅, rows sorted."""
+    sorted by name, floats repr(round(.,9)), None -> ∅, rows sorted.
+    Integral floats render as ints so a value that is int64 on one
+    engine and float64 on the other (e.g. a DuckDB HUGEINT window sum
+    materialized as pandas float64 vs Spark's long) compares by VALUE —
+    the numeric tolerance the external gate's pandas path exhibits."""
     order = np.argsort(cols, kind="stable")
     norm_rows = []
     for row in rows:
@@ -40,7 +44,11 @@ def canonical_rows(rows: list[tuple], cols: list[str]) -> list[str]:
                 if math.isnan(v):
                     vals.append("nan")
                 else:
-                    vals.append(repr(round(v, 9)))
+                    r = round(v, 9)
+                    if r.is_integer() and abs(r) < 2**53:
+                        vals.append(str(int(r)))
+                    else:
+                        vals.append(repr(r))
             elif v is None:
                 vals.append("∅")
             else:
@@ -61,7 +69,7 @@ _TYPE_NORM = {
     "string": "str", "varchar": "str", "boolean": "bool",
     "timestamp": "ts", "timestamp_ntz": "ts", "date": "date",
     # duckdb type names
-    "BIGINT": "int64", "HUGEINT": "int64", "INTEGER": "int32",
+    "BIGINT": "int64", "HUGEINT": "hugeint", "INTEGER": "int32",
     "SMALLINT": "int16", "DOUBLE": "float64", "FLOAT": "float32",
     "VARCHAR": "str", "BOOLEAN": "bool", "TIMESTAMP": "ts", "DATE": "date",
 }
@@ -69,6 +77,15 @@ _TYPE_NORM = {
 
 def type_map(pairs) -> dict:
     return {name: _TYPE_NORM.get(t, t) for name, t in pairs}
+
+
+def types_compatible(spark_t: str, oracle_t: str) -> bool:
+    """DuckDB HUGEINT (int128) has no Spark twin: the external gate
+    materializes it as pandas float64, so either a Spark long or a
+    Spark double is value-compatible with it."""
+    if spark_t == oracle_t:
+        return True
+    return oracle_t == "hugeint" and spark_t in ("int64", "float64")
 
 
 def dump_rows(name: str, engine: str, rows: list[tuple], cols: list[str]) -> Path:
@@ -136,7 +153,9 @@ def main() -> int:
             stypes = type_map((f.name, f.dataType.simpleString()) for f in sdf.schema.fields)
             otypes = type_map(zip(ocols, otypes_raw))
             drift = {
-                c: (stypes[c], otypes[c]) for c in stypes if stypes[c] != otypes.get(c)
+                c: (stypes[c], otypes[c])
+                for c in stypes
+                if not types_compatible(stypes[c], otypes.get(c))
             }
             if drift:
                 problems.append(f"type drift {drift}")

@@ -71,3 +71,19 @@ def test_nonexistent_file_raises_error(spark):
         SemanticLogAnalyzer(AnalysisConfig(), spark=spark).analyze_file(
             "/nonexistent/file.log"
         )
+
+
+def test_render_guard_bounds_library_collect(spark, tmp_path):
+    """The library path must refuse an unbounded driver collect: with
+    max_render_rows=0 any non-empty block set raises instead of
+    collecting (the CLI --max-render-rows guard, ported)."""
+    p = tmp_path / "guarded.log"
+    lines = [f"INFO: Normal operation {i}" for i in range(20)]
+    lines += ["ERROR: Critical failure in subsystem A"]
+    p.write_text("\n".join(lines))
+    cfg = AnalysisConfig(
+        window_size=2, anomaly_percentile=0.3, extra={"max_render_rows": 0}
+    )
+    analyzer = SemanticLogAnalyzer(cfg, spark=spark)
+    with pytest.raises(RuntimeError, match="max_render_rows"):
+        analyzer.analyze_file(str(p))

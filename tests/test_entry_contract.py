@@ -43,6 +43,10 @@ def con():
 
 
 def _norm(rows, cols):
+    # integral floats render as ints: a value that is int64 on one
+    # engine and float64 on the other (DuckDB HUGEINT materialized as
+    # pandas float64 vs Spark's double-cast session_id) must compare by
+    # VALUE — mirrors scripts/check_entry.canonical_rows
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for row in rows:
@@ -50,7 +54,13 @@ def _norm(rows, cols):
         for i in order:
             v = row[i]
             if isinstance(v, float):
-                vals.append("nan" if math.isnan(v) else repr(round(v, 9)))
+                if math.isnan(v):
+                    vals.append("nan")
+                else:
+                    r = round(v, 9)
+                    vals.append(
+                        str(int(r)) if r.is_integer() and abs(r) < 2**53 else repr(r)
+                    )
             else:
                 vals.append("∅" if v is None else str(v))
         out.append(tuple(vals))

@@ -149,3 +149,13 @@ def test_zorder_value_guards(spark):
         zorder_value(df, [], bits_per_col=8)
     with pytest.raises(ValueError):
         zorder_value(df, ["x"] * 8, bits_per_col=9)  # 72 > 63 bits
+
+
+def test_file_locality_all_null_column(spark):
+    """An all-NULL clustered column (or empty frame) must yield NULL
+    frac_<c>, not a float(None) TypeError on the global envelope."""
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0)], "user_id double, ts double"
+    ).withColumn("_file", F.lit("f0"))
+    rows = file_locality(df, ["user_id"]).collect()
+    assert all(r["frac_user_id"] is None for r in rows)

@@ -4,7 +4,7 @@ Few examples (each runs real Spark jobs) but wide input space."""
 
 import numpy as np
 import pandas as pd
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, assume, given, settings, strategies as st
 
 from cordon_spark.config import AnalysisConfig
 from cordon_spark.oracle import run_oracle
@@ -75,7 +75,22 @@ def test_random_corpus_exact_parity(spark, corpus, cfg):
     )
     exp = oracle.windows[["conv_id", "window_id", "score"]].reset_index(drop=True)
     assert len(got) == len(exp)
-    assert np.allclose(got.score.to_numpy(), exp.score.to_numpy(), atol=1e-12)
+    got_s, exp_s = got.score.to_numpy(), exp.score.to_numpy()
+    assert np.allclose(got_s, exp_s, atol=1e-12)
+    if not np.array_equal(got_s, exp_s):
+        # dgemm results are shape-dependent (see operators/scoring.py
+        # header): when the two engines' scores differ in the last ulp,
+        # a score sitting essentially ON the percentile threshold can
+        # legitimately land on either side. Discard those knife-edge
+        # draws — the property being tested is pipeline parity, not
+        # sub-ulp threshold tie-breaking (the reference documents the
+        # identical batch-size-invariance caveat).
+        from cordon_spark.kernel import percentile_thresholds
+
+        lo, up = percentile_thresholds(exp_s, cfg)
+        for thr in (lo, up):
+            if thr is not None and len(exp_s):
+                assume(float(np.min(np.abs(exp_s - thr))) > 1e-9)
     assert _blocks(res.blocks.toPandas()) == _blocks(oracle.blocks)
     assert res.counts["anomalous"] == oracle.stats["anomalous_turns"]
     assert res.counts["routine"] == oracle.stats["routine_turns"]
