@@ -76,23 +76,24 @@ class SemanticLogAnalyzer:
             # 1-indexed line numbers in the tags, like the reference
             rendered = render_blocks(transcripts, res.blocks, index_base=1)
             # same driver-collect guard as the CLI's --max-render-rows
-            # (cli.py): a LIMIT probe early-terminates, so an
-            # anomalously fat post-threshold block set fails with a
-            # pointer to the distributed sink instead of OOMing the
-            # driver through an unbounded collect.
+            # (cli.py), in ONE job: collect at most max_rows+1 rows —
+            # driver memory stays bounded either way, and the common
+            # under-limit path does not pay a second full render pass
+            # for a separate probe count.
             max_rows = int(self.config.extra.get("max_render_rows", 1_000_000))
-            probe = rendered.limit(max_rows + 1).count()
-            if probe > max_rows:
+            rows = (
+                rendered.orderBy("conv_id", "start_idx")
+                .limit(max_rows + 1)
+                .collect()
+            )
+            if len(rows) > max_rows:
                 raise RuntimeError(
                     f"more than max_render_rows={max_rows} rendered "
                     "blocks; use the CLI --output-table (with "
                     "--warehouse) for a distributed write, or raise "
                     "AnalysisConfig.extra['max_render_rows']"
                 )
-            parts = [
-                r.block_text
-                for r in rendered.orderBy("conv_id", "start_idx").collect()
-            ]
+            parts = [r.block_text for r in rows]
             output = "\n\n".join(parts)
             dist = {
                 k: float(res.stats.get(k, 0.0))

@@ -76,19 +76,43 @@ def r4l_dec(col, name):
     return F.floor(scaled).cast("long").alias(name)
 
 
-def _spread(df):
+def _row_groups(path: str) -> int:
+    """Total parquet row groups under `path` (file or directory) from
+    footer metadata only — the TRUE upper bound on scan parallelism for
+    a parquet source (byte-range splits beyond row-group count produce
+    empty tasks). Unreadable/foreign layouts return a large number so
+    the caller's gate stays inert."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    try:
+        p = pathlib.Path(path)
+        files = [p] if p.is_file() else sorted(p.glob("*.parquet"))
+        return sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+    except Exception:
+        return 1 << 30
+
+
+def _spread(df, path: str):
     """Input-skew guard (guide §2.5: one unsplittable input -> repartition
     immediately after the read). The fixture tables are single-row-group
     parquet files, so without this every per-row-heavy pass (shingle md5,
     entropy folds, regex scrubbing) runs in ONE scan task no matter how
     many cores (measured: the minhash signature stage alone was 24s
-    single-task at sf1.0, ~1s spread 32-way). Gated on actual scan width
-    vs the scheduler's parallelism, so at real scale — where a table is
-    many files/row groups and the scan is already wider than the cluster
-    — this is a no-op and no corpus-wide shuffle is ever added."""
+    single-task at sf1.0, ~1s spread 32-way). Gated on the scan's TRUE
+    width — min(scan partitions, total row groups), since byte-range
+    splits cannot subdivide a row group and a big single-row-group file
+    would fool a partition-count-only gate — vs the scheduler's
+    parallelism, so at real scale, where a table is many files/row
+    groups and already wider than the cluster, this is a no-op and no
+    corpus-wide shuffle is ever added."""
     spark = df.sparkSession
     n_slots = spark.sparkContext.defaultParallelism
-    if n_slots > 1 and df.rdd.getNumPartitions() < n_slots:
+    if n_slots <= 1:
+        return df
+    width = min(df.rdd.getNumPartitions(), _row_groups(path))
+    if width < n_slots:
         return df.repartition(n_slots)
     return df
 
@@ -121,7 +145,8 @@ def _ts_lit(df, col_name: str, iso: str):
 
 
 def _docs(spark, sf_dir):
-    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    path = f"{sf_dir}/documents.parquet"
+    return _spread(spark.read.parquet(path), path)
 
 
 def _emb(spark, sf_dir):
@@ -138,7 +163,8 @@ def _emb(spark, sf_dir):
 
 
 def _events(spark, sf_dir):
-    return _spread(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    path = f"{sf_dir}/events.parquet"
+    return _spread(spark.read.parquet(path), path)
 
 
 def derived_transcripts(spark, sf_dir) -> DataFrame:

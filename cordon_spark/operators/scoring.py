@@ -84,11 +84,14 @@ def score_windows_knn(
     # Spread the scoring across the cluster: the input is often a
     # single small parquet file = ONE scan task, which serializes the
     # whole O(n^2) matmul through one python worker (measured 34s for
-    # 20k rows at sf1.0; 32-way it is ~2s). Scores are partition-
-    # invariant by construction (candidate chunk boundaries are
-    # absolute offsets into the broadcast matrix), so a round-robin
-    # repartition cannot change any value. Scale-adaptive: width comes
-    # from the scheduler, not a constant (guide §2).
+    # 20k rows at sf1.0; 32-way it is ~2s). Candidate chunk boundaries
+    # are absolute offsets into the broadcast matrix, so the CANDIDATE
+    # blocking is partitioning-independent; the query-side dgemm block
+    # shape still varies with partitioning, which can move a score by
+    # ~1 ulp (the module-header caveat — same class of freedom every
+    # partitioning of this mapInPandas always had; cross-engine checks
+    # compare after e4 rounding). Scale-adaptive: width comes from the
+    # scheduler, not a constant (guide §2).
     n_slots = spark.sparkContext.defaultParallelism
     if n_slots > 1 and len(matrix) >= 2 * n_slots:
         windows = windows.repartition(n_slots)

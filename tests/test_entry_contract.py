@@ -3,7 +3,6 @@ oracle_sql() through DuckDB at sf0.001 (row count + columns + sorted
 value comparison). Heavier than unit tests but the single highest-value
 regression guard in the repo."""
 
-import math
 import pathlib
 import sys
 
@@ -43,28 +42,14 @@ def con():
 
 
 def _norm(rows, cols):
-    # integral floats render as ints: a value that is int64 on one
-    # engine and float64 on the other (DuckDB HUGEINT materialized as
-    # pandas float64 vs Spark's double-cast session_id) must compare by
-    # VALUE — mirrors scripts/check_entry.canonical_rows
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    vals.append("nan")
-                else:
-                    r = round(v, 9)
-                    vals.append(
-                        str(int(r)) if r.is_integer() and abs(r) < 2**53 else repr(r)
-                    )
-            else:
-                vals.append("∅" if v is None else str(v))
-        out.append(tuple(vals))
-    return sorted(out)
+    # ONE canonical-form definition for the whole repo: reuse the
+    # sweep harness's canonicalizer (integral floats render as ints so
+    # a DuckDB HUGEINT materialized as float64 compares by VALUE with
+    # Spark's long/double) instead of mirroring it here and drifting.
+    sys.path.insert(0, str(ROOT / "scripts"))
+    from check_entry import canonical_rows
+
+    return canonical_rows(rows, cols)
 
 
 @pytest.mark.parametrize("name", sorted(E.oracle_sql().keys()))
